@@ -1,0 +1,214 @@
+"""RoI feature extraction: RoIAlign / RoIPool / crop-and-resize.
+
+Replaces the reference's native RoI kernels (``lib/layer_utils/roi_align/src``
+/ ``roi_pooling/src`` C/CUDA, or torchvision.ops on the 1.0 branch —
+SURVEY.md #17/#22) and the three ``cfg.POOLING_MODE`` paths of
+``Network._crop_pool_layer`` (reference ``lib/nets/network.py:~L230-L280``):
+
+  * ``roi_align``            — 'align': bilinear sampling, torchvision
+                               semantics (aligned=False), **fixed**
+                               sampling_ratio (the adaptive ceil() of the
+                               lineage is dynamic-shape-hostile; fixed 2 is
+                               the Detectron standard — documented deviation);
+  * ``roi_pool``             — 'pool': quantized max-bin pooling;
+  * ``crop_and_resize_pool`` — 'crop': 2x-size bilinear crop + 2x2 maxpool
+                               (the tf crop_and_resize lineage default).
+
+TPU-first formulation: bilinear sampling is expressed **separably** as two
+small matmuls per RoI — out = Wy @ F @ Wx^T per channel, where Wy/Wx are
+(samples x H)/(samples x W) interpolation matrices with <=2 nonzeros per row.
+That maps the whole op onto the MXU instead of scalar gathers.  The pure-jnp
+version here (lax.map over RoI chunks to bound memory) is the numerical truth
+for the Pallas kernel in ``frcnn_tpu/ops/pallas/roi_align_kernel.py``.
+
+Gradients flow through everything (jnp ops only), so no custom_vjp is needed
+for the reference path; the Pallas kernel defines one.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _interp_matrix(coords, size: int):
+    """Dense 1-D bilinear interpolation matrix.
+
+    coords: (P,) continuous sample coordinates.  Returns (P, size) with
+    torchvision RoIAlign border semantics: coordinate < -1 or > size → all
+    zero (sample is empty); otherwise clamp to [0, size-1] and bilinear-weight
+    the two neighbours.
+    """
+    empty = (coords < -1.0) | (coords > size)
+    c = jnp.clip(coords, 0.0, size - 1.0)
+    low = jnp.floor(c)
+    ly = c - low
+    low_i = low.astype(jnp.int32)
+    high_i = jnp.minimum(low_i + 1, size - 1)
+    w = (1.0 - ly)[:, None] * jax.nn.one_hot(low_i, size, dtype=coords.dtype)
+    w = w + ly[:, None] * jax.nn.one_hot(high_i, size, dtype=coords.dtype)
+    return jnp.where(empty[:, None], 0.0, w)
+
+
+def _roi_align_one(feat, roi, output_size, spatial_scale, sampling_ratio):
+    """RoIAlign for one RoI.  feat (H, W, C); roi (4,) image coords."""
+    h, w, _ = feat.shape
+    p = output_size
+    sr = sampling_ratio
+
+    x1 = roi[0] * spatial_scale
+    y1 = roi[1] * spatial_scale
+    x2 = roi[2] * spatial_scale
+    y2 = roi[3] * spatial_scale
+    roi_w = jnp.maximum(x2 - x1, 1.0)
+    roi_h = jnp.maximum(y2 - y1, 1.0)
+    bin_w = roi_w / p
+    bin_h = roi_h / p
+
+    # sample coordinates: (p * sr,) for each axis
+    s = (jnp.arange(p * sr, dtype=feat.dtype) + 0.5) / sr  # in bin units
+    ys = y1 + s * bin_h
+    xs = x1 + s * bin_w
+
+    wy = _interp_matrix(ys, h)  # (p*sr, H)
+    wx = _interp_matrix(xs, w)  # (p*sr, W)
+
+    # separable bilinear: two matmuls per channel (MXU-friendly).  HIGHEST
+    # precision: interpolation weights must not go through bf16 passes on TPU
+    # (FLOPs here are negligible; accuracy is not).
+    g = jnp.einsum("qw,hwc->hqc", wx, feat, precision="highest")     # (H, p*sr, C)
+    sampled = jnp.einsum("ph,hqc->pqc", wy, g, precision="highest")  # (p*sr, p*sr, C)
+    # average the sr x sr samples per bin
+    out = sampled.reshape(p, sr, p, sr, -1).mean(axis=(1, 3))
+    return out
+
+
+@partial(jax.jit, static_argnames=("output_size", "spatial_scale", "sampling_ratio", "chunk"))
+def roi_align(feat, rois, output_size: int = 7, spatial_scale: float = 1.0 / 16.0,
+              sampling_ratio: int = 2, chunk: int = 32):
+    """RoIAlign: feat (H, W, C), rois (R, 4) image-coord boxes → (R, p, p, C).
+
+    lax.map over chunks of ``chunk`` RoIs bounds the (chunk, H, p*sr, C)
+    intermediate; R must be a multiple of chunk (callers pad RoIs anyway).
+    """
+    r = rois.shape[0]
+    chunk = min(chunk, r)
+    fn = partial(_roi_align_one, feat, output_size=output_size,
+                 spatial_scale=spatial_scale, sampling_ratio=sampling_ratio)
+    if r % chunk == 0 and r > chunk:
+        batched = rois.reshape(r // chunk, chunk, 4)
+        out = jax.lax.map(lambda rs: jax.vmap(fn)(rs), batched)
+        return out.reshape((r,) + out.shape[2:])
+    return jax.vmap(fn)(rois)
+
+
+def _roi_pool_one(feat, roi, output_size, spatial_scale):
+    """Exact quantized RoIPool for one RoI (Caffe/reference roi_pooling
+    semantics): integer roi corners via round, bin [hstart, hend) ranges via
+    floor/ceil (adjacent bins may overlap boundary cells), max over covered
+    cells, empty bins → 0.  Max over a rectangle is separable: masked max
+    over rows, then over cols."""
+    h, w, _ = feat.shape
+    p = output_size
+    x1 = jnp.round(roi[0] * spatial_scale).astype(jnp.int32)
+    y1 = jnp.round(roi[1] * spatial_scale).astype(jnp.int32)
+    x2 = jnp.round(roi[2] * spatial_scale).astype(jnp.int32)
+    y2 = jnp.round(roi[3] * spatial_scale).astype(jnp.int32)
+    roi_w = jnp.maximum(x2 - x1 + 1, 1)
+    roi_h = jnp.maximum(y2 - y1 + 1, 1)
+
+    # Bin ranges hstart = floor(b*roi_h/p), hend = ceil((b+1)*roi_h/p) in
+    # exact integer arithmetic — float floor/ceil of products is sensitive to
+    # XLA reassociation at exact-integer boundaries (observed under jit).
+    pb = jnp.arange(p, dtype=jnp.int32)
+    hs = jnp.clip(pb * roi_h // p + y1, 0, h)
+    he = jnp.clip(((pb + 1) * roi_h + p - 1) // p + y1, 0, h)
+    ws = jnp.clip(pb * roi_w // p + x1, 0, w)
+    we = jnp.clip(((pb + 1) * roi_w + p - 1) // p + x1, 0, w)
+
+    hh = jnp.arange(h, dtype=jnp.int32)
+    ww = jnp.arange(w, dtype=jnp.int32)
+    rowmask = (hh[None, :] >= hs[:, None]) & (hh[None, :] < he[:, None])  # (p, H)
+    colmask = (ww[None, :] >= ws[:, None]) & (ww[None, :] < we[:, None])  # (p, W)
+
+    neg = jnp.asarray(-jnp.inf, dtype=feat.dtype)
+    # masked max over rows → (p, W, C), then over cols → (p, p, C)
+    tmp = jax.vmap(lambda m: jnp.where(m[:, None, None], feat, neg).max(axis=0))(rowmask)
+    out = jax.vmap(
+        lambda m: jnp.where(m[None, :, None], tmp, neg).max(axis=1), out_axes=1
+    )(colmask)
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("output_size", "spatial_scale", "chunk"))
+def roi_pool(feat, rois, output_size: int = 7, spatial_scale: float = 1.0 / 16.0,
+             chunk: int = 32):
+    """RoIPool ('pool' mode): feat (H, W, C), rois (R, 4) → (R, p, p, C)."""
+    r = rois.shape[0]
+    chunk = min(chunk, r)
+    fn = partial(_roi_pool_one, feat, output_size=output_size, spatial_scale=spatial_scale)
+    if r % chunk == 0 and r > chunk:
+        batched = rois.reshape(r // chunk, chunk, 4)
+        out = jax.lax.map(lambda rs: jax.vmap(fn)(rs), batched)
+        return out.reshape((r,) + out.shape[2:])
+    return jax.vmap(fn)(rois)
+
+
+def _crop_resize_one(feat, roi, crop_size, spatial_scale):
+    """tf.crop_and_resize semantics for one RoI: corner-aligned linspace grid."""
+    h, w, _ = feat.shape
+    s = crop_size
+    x1 = roi[0] * spatial_scale
+    y1 = roi[1] * spatial_scale
+    x2 = roi[2] * spatial_scale
+    y2 = roi[3] * spatial_scale
+    t = jnp.arange(s, dtype=feat.dtype) / (s - 1.0)
+    ys = y1 + t * (y2 - y1)
+    xs = x1 + t * (x2 - x1)
+    wy = _interp_matrix(ys, h)
+    wx = _interp_matrix(xs, w)
+    g = jnp.einsum("qw,hwc->hqc", wx, feat, precision="highest")
+    return jnp.einsum("ph,hqc->pqc", wy, g, precision="highest")  # (s, s, C)
+
+
+@partial(jax.jit, static_argnames=("output_size", "spatial_scale", "chunk"))
+def crop_and_resize_pool(feat, rois, output_size: int = 7,
+                         spatial_scale: float = 1.0 / 16.0, chunk: int = 32):
+    """'crop' mode: bilinear crop to (2p, 2p) then 2x2 max pool → (R, p, p, C).
+
+    Matches the reference's F.affine_grid + grid_sample + max_pool2d path
+    (network.py:~_crop_pool_layer, crop mode).
+    """
+    r = rois.shape[0]
+    chunk = min(chunk, r)
+    fn = partial(_crop_resize_one, feat, crop_size=2 * output_size,
+                 spatial_scale=spatial_scale)
+    if r % chunk == 0 and r > chunk:
+        batched = rois.reshape(r // chunk, chunk, 4)
+        crops = jax.lax.map(lambda rs: jax.vmap(fn)(rs), batched)
+        crops = crops.reshape((r,) + crops.shape[2:])
+    else:
+        crops = jax.vmap(fn)(rois)
+    p = output_size
+    return crops.reshape(r, p, 2, p, 2, -1).max(axis=(2, 4))
+
+
+def extract_roi_features(feat, rois, mode: str = "align", output_size: int = 7,
+                         spatial_scale: float = 1.0 / 16.0, sampling_ratio: int = 2,
+                         use_pallas: bool = True):
+    """cfg.POOLING_MODE dispatcher (reference Network._crop_pool_layer)."""
+    if mode == "align":
+        if use_pallas and jax.default_backend() == "tpu":
+            from frcnn_tpu.ops.pallas.roi_align_kernel import roi_align_pallas
+
+            return roi_align_pallas(feat, rois, output_size=output_size,
+                                    spatial_scale=spatial_scale,
+                                    sampling_ratio=sampling_ratio)
+        return roi_align(feat, rois, output_size, spatial_scale, sampling_ratio)
+    if mode == "pool":
+        return roi_pool(feat, rois, output_size, spatial_scale)
+    if mode == "crop":
+        return crop_and_resize_pool(feat, rois, output_size, spatial_scale)
+    raise ValueError(f"unknown POOLING_MODE: {mode}")
