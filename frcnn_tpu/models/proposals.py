@@ -1,0 +1,71 @@
+"""Proposal generation (RPN post-processing).
+
+Rebuilds of the reference's ``lib/layer_utils/proposal_layer.py:~20-80`` (#13)
+and ``proposal_top_layer.py:~15-60`` (#14) as fixed-shape jnp: the dynamic
+"sort → take pre_nms_top_n → NMS → take post_nms_top_n keep list" becomes
+``lax.top_k`` + fixed-shape NMS returning padded indices + a validity mask.
+
+All functions are single-image; callers vmap over the batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from frcnn_tpu.ops.boxes import bbox_transform_inv, clip_boxes
+from frcnn_tpu.ops.nms import nms_fixed, NEG_INF
+
+
+def _anchor_validity(anchors, im_info):
+    """Anchors whose centre lies inside the *actual* image (not the padded
+    bucket).  The reference never pads, so it has no such mask; with padded
+    fixed-shape images, proposals hallucinated over padding must be dropped.
+    """
+    cx = (anchors[:, 0] + anchors[:, 2]) * 0.5
+    cy = (anchors[:, 1] + anchors[:, 3]) * 0.5
+    return (cx >= 0) & (cx < im_info[1]) & (cy >= 0) & (cy < im_info[0])
+
+
+def proposal_layer(scores, deltas, anchors, im_info, *, pre_nms_top_n: int,
+                   post_nms_top_n: int, nms_thresh: float, use_pallas: bool = True):
+    """TRAIN/TEST proposal path (reference proposal_layer).
+
+    scores: (K,) RPN foreground probabilities (anchor-order flattened);
+    deltas: (K, 4); anchors: (K, 4); im_info: (3,) [h, w, scale].
+    Returns (rois (P, 4), roi_scores (P,), valid (P,)) with P = post_nms_top_n.
+    """
+    k = scores.shape[0]
+    proposals = bbox_transform_inv(anchors, deltas)
+    proposals = clip_boxes(proposals, im_info[:2])
+
+    scores = jnp.where(_anchor_validity(anchors, im_info), scores, NEG_INF)
+    pre_n = min(pre_nms_top_n, k)
+    top_scores, top_idx = jax.lax.top_k(scores, pre_n)
+    top_boxes = proposals[top_idx]
+    top_valid = top_scores > NEG_INF / 2
+
+    keep_idx, keep_valid = nms_fixed(top_boxes, top_scores, nms_thresh,
+                                     post_nms_top_n, valid=top_valid,
+                                     use_pallas=use_pallas)
+    rois = top_boxes[keep_idx]
+    roi_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.0)
+    # neutralize padding rois: degenerate zero box (gathered features unused)
+    rois = jnp.where(keep_valid[:, None], rois, 0.0)
+    return rois, roi_scores, keep_valid
+
+
+def proposal_top_layer(scores, deltas, anchors, im_info, *, rpn_top_n: int):
+    """NMS-free TEST variant (reference proposal_top_layer, cfg.TEST.MODE
+    'top'): top RPN_TOP_N anchors by score, decode, clip.  The reference
+    random-pads when fewer anchors than RPN_TOP_N exist; with fixed shapes we
+    return a validity mask instead."""
+    k = scores.shape[0]
+    scores = jnp.where(_anchor_validity(anchors, im_info), scores, NEG_INF)
+    n = min(rpn_top_n, k)
+    top_scores, top_idx = jax.lax.top_k(scores, n)
+    valid = top_scores > NEG_INF / 2
+    boxes = bbox_transform_inv(anchors[top_idx], deltas[top_idx])
+    boxes = clip_boxes(boxes, im_info[:2])
+    boxes = jnp.where(valid[:, None], boxes, 0.0)
+    return boxes, jnp.where(valid, top_scores, 0.0), valid

@@ -1,0 +1,206 @@
+"""Training-target layers: RPN anchor targets and RoI proposal targets.
+
+Rebuilds of the reference's host/numpy mid-forward layers
+(``lib/layer_utils/anchor_target_layer.py:~20-180`` #15 and
+``proposal_target_layer.py:~20-180`` #16) as masked, fixed-shape, in-graph
+jnp with ``jax.random`` sampling — the single biggest structural change vs
+the reference (its ``.cpu().numpy()`` round-trips dominate step latency,
+SURVEY.md §3.1).
+
+Semantics preserved exactly where they matter for mAP (SURVEY.md hard part
+#2): inside-image anchor filtering, IoU thresholds and clobber ordering,
+argmax-per-gt fg guarantee (with ties), fixed-count fg/bg subsampling
+(uniform without replacement via random-priority top-k), bbox-target
+normalization, class-specific target expansion, inside/outside weights.
+Deviation: when fewer than BATCH_SIZE rois are sampleable the reference
+samples *with replacement*; we tile the selected set cyclically — both
+duplicate entries uniformly.
+
+All functions are single-image; callers vmap over the batch (each image gets
+its own PRNG key).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from frcnn_tpu.ops.boxes import bbox_overlaps, bbox_transform
+
+
+def _rank_by_random_priority(mask, key):
+    """Uniform-without-replacement subsampling: rank of each True entry of
+    ``mask`` in a random permutation of the True entries (False → big rank).
+    Keeping entries with rank < quota == npr.choice(inds, quota, replace=False).
+    """
+    n = mask.shape[0]
+    pri = jnp.where(mask, jax.random.uniform(key, (n,)), -1.0)
+    order = jnp.argsort(-pri)  # True entries first, randomly permuted
+    rank = jnp.zeros(n, jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+    return jnp.where(mask, rank, n)
+
+
+class AnchorTargets(NamedTuple):
+    labels: jnp.ndarray          # (K,) int32: 1 fg, 0 bg, -1 ignore
+    bbox_targets: jnp.ndarray    # (K, 4)
+    bbox_inside_weights: jnp.ndarray   # (K, 4)
+    bbox_outside_weights: jnp.ndarray  # (K, 4)
+
+
+def anchor_target_layer(anchors, gt_boxes, gt_valid, im_info, key, cfg) -> AnchorTargets:
+    """RPN training targets (reference anchor_target_layer).
+
+    anchors: (K, 4); gt_boxes: (G, 4) padded; gt_valid: (G,) bool;
+    im_info: (3,) [h, w, scale]; key: PRNG key.
+    """
+    t = cfg.TRAIN
+    k = anchors.shape[0]
+
+    # 1. inside-image anchors, border 0 (reference keeps only these; we mask)
+    inside = (
+        (anchors[:, 0] >= 0)
+        & (anchors[:, 1] >= 0)
+        & (anchors[:, 2] < im_info[1])
+        & (anchors[:, 3] < im_info[0])
+    )
+
+    # 2. IoU vs gt; invalid gt and outside anchors masked to -1
+    overlaps = bbox_overlaps(anchors, gt_boxes)           # (K, G)
+    overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+    overlaps = jnp.where(inside[:, None], overlaps, -1.0)
+
+    argmax_overlaps = jnp.argmax(overlaps, axis=1)        # (K,)
+    max_overlaps = jnp.max(overlaps, axis=1)              # (K,)
+    gt_max_overlaps = jnp.max(overlaps, axis=0)           # (G,)
+    # argmax-per-gt: every anchor achieving a gt's max overlap is fg (ties
+    # included, like np.where(overlaps == gt_max)); require a real overlap.
+    is_gt_argmax = jnp.any(
+        (overlaps == gt_max_overlaps[None, :]) & (gt_max_overlaps[None, :] > 0)
+        & gt_valid[None, :],
+        axis=1,
+    )
+
+    neg = max_overlaps < t.RPN_NEGATIVE_OVERLAP
+    pos = is_gt_argmax | (max_overlaps >= t.RPN_POSITIVE_OVERLAP)
+
+    labels = jnp.full((k,), -1, jnp.int32)
+    if not t.RPN_CLOBBER_POSITIVES:
+        labels = jnp.where(inside & neg, 0, labels)
+        labels = jnp.where(inside & pos, 1, labels)
+    else:
+        labels = jnp.where(inside & pos, 1, labels)
+        labels = jnp.where(inside & neg, 0, labels)
+
+    # 3. subsample: at most RPN_FG_FRACTION*RPN_BATCHSIZE fg, fill with bg
+    kf, kb = jax.random.split(key)
+    num_fg = int(t.RPN_FG_FRACTION * t.RPN_BATCHSIZE)
+    fg_mask = labels == 1
+    fg_rank = _rank_by_random_priority(fg_mask, kf)
+    labels = jnp.where(fg_mask & (fg_rank >= num_fg), -1, labels)
+
+    n_fg = jnp.minimum(jnp.sum(fg_mask), num_fg)
+    bg_quota = t.RPN_BATCHSIZE - n_fg
+    bg_mask = labels == 0
+    bg_rank = _rank_by_random_priority(bg_mask, kb)
+    labels = jnp.where(bg_mask & (bg_rank >= bg_quota), -1, labels)
+
+    # 4. regression targets toward each anchor's argmax gt
+    targets = bbox_transform(anchors, gt_boxes[argmax_overlaps])
+    targets = jnp.where((labels == 1)[:, None], targets, 0.0)
+
+    inside_w = jnp.where((labels == 1)[:, None],
+                         jnp.asarray(t.BBOX_INSIDE_WEIGHTS, targets.dtype), 0.0)
+    num_examples = jnp.maximum(jnp.sum(labels >= 0), 1).astype(targets.dtype)
+    if t.RPN_POSITIVE_WEIGHT < 0:
+        # uniform weighting of ones (reference RPN_POSITIVE_WEIGHT == -1)
+        w = 1.0 / num_examples
+        outside_w = jnp.where((labels >= 0)[:, None], w, 0.0)
+    else:
+        pw = t.RPN_POSITIVE_WEIGHT / jnp.maximum(jnp.sum(labels == 1), 1)
+        nw = (1.0 - t.RPN_POSITIVE_WEIGHT) / jnp.maximum(jnp.sum(labels == 0), 1)
+        outside_w = jnp.where((labels == 1)[:, None], pw, 0.0)
+        outside_w = jnp.where((labels == 0)[:, None], nw, outside_w)
+
+    return AnchorTargets(labels, targets, inside_w, outside_w.astype(targets.dtype))
+
+
+class ProposalTargets(NamedTuple):
+    rois: jnp.ndarray            # (B, 4) sampled rois (fg first)
+    labels: jnp.ndarray          # (B,) int32 class labels (0 = bg)
+    bbox_targets: jnp.ndarray    # (B, 4*num_classes)
+    bbox_inside_weights: jnp.ndarray   # (B, 4*num_classes)
+    bbox_outside_weights: jnp.ndarray  # (B, 4*num_classes)
+
+
+def proposal_target_layer(rois, roi_valid, gt_boxes, gt_labels, gt_valid, key,
+                          cfg, num_classes: int) -> ProposalTargets:
+    """RoI-head training targets (reference proposal_target_layer).
+
+    rois: (R, 4) from the proposal layer; roi_valid: (R,); gt_boxes: (G, 4);
+    gt_labels: (G,) int class ids (1..C-1); gt_valid: (G,).
+    Returns fixed (cfg.TRAIN.BATCH_SIZE, ...) tensors.
+    """
+    t = cfg.TRAIN
+    batch = t.BATCH_SIZE
+
+    # append gt boxes to the proposal set (reference all_rois = cat(rois, gt))
+    all_rois = jnp.concatenate([rois, gt_boxes], axis=0)
+    all_valid = jnp.concatenate([roi_valid, gt_valid], axis=0)
+    n = all_rois.shape[0]
+
+    overlaps = bbox_overlaps(all_rois, gt_boxes)
+    overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+    overlaps = jnp.where(all_valid[:, None], overlaps, -1.0)
+    max_ov = jnp.max(overlaps, axis=1)
+    argmax = jnp.argmax(overlaps, axis=1)
+    roi_label = gt_labels[argmax].astype(jnp.int32)
+
+    fg = all_valid & (max_ov >= t.FG_THRESH)
+    bg = all_valid & (max_ov < t.BG_THRESH_HI) & (max_ov >= t.BG_THRESH_LO)
+    # degenerate-image fallback (reference hits an assert; filter_roidb is
+    # supposed to prevent it): if neither fg nor bg exists, use valid rois
+    none_found = ~jnp.any(fg | bg)
+    bg = bg | (none_found & all_valid)
+
+    kf, kb = jax.random.split(key)
+    fg_quota = int(round(t.FG_FRACTION * batch))
+    fg_rank = _rank_by_random_priority(fg, kf)
+    fg_sel = fg & (fg_rank < fg_quota)
+    n_fg = jnp.sum(fg_sel)
+    bg_rank = _rank_by_random_priority(bg, kb)
+    bg_sel = bg & (bg_rank < batch - n_fg)
+
+    # order: fg first then bg (reference keeps that order), each randomly
+    # permuted; unselected entries last.  Slots beyond the selected count are
+    # filled cyclically (≈ sampling with replacement).
+    sort_key = jnp.where(fg_sel, fg_rank, n + bg_rank)
+    sort_key = jnp.where(fg_sel | bg_sel, sort_key, 2 * n + jnp.arange(n))
+    order = jnp.argsort(sort_key)
+    n_sel = jnp.maximum(n_fg + jnp.sum(bg_sel), 1)
+    slots = jnp.arange(batch) % n_sel
+    sel = order[slots]  # (batch,)
+
+    out_rois = all_rois[sel]
+    is_fg = fg_sel[sel]
+    labels = jnp.where(is_fg, roi_label[sel], 0)
+
+    # normalized regression targets toward each sampled roi's argmax gt
+    targets = bbox_transform(out_rois, gt_boxes[argmax[sel]])
+    if t.BBOX_NORMALIZE_TARGETS_PRECOMPUTED:
+        means = jnp.asarray(t.BBOX_NORMALIZE_MEANS, targets.dtype)
+        stds = jnp.asarray(t.BBOX_NORMALIZE_STDS, targets.dtype)
+        targets = (targets - means) / stds
+    targets = jnp.where(is_fg[:, None], targets, 0.0)
+
+    # expand to class-specific (B, 4*num_classes) with one-hot placement
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=targets.dtype)  # (B, C)
+    expanded = (onehot[:, :, None] * targets[:, None, :]).reshape(batch, 4 * num_classes)
+    inside = jnp.asarray(t.BBOX_INSIDE_WEIGHTS, targets.dtype)
+    in_w = (onehot[:, :, None] * (is_fg[:, None, None] * inside[None, None, :])).reshape(
+        batch, 4 * num_classes
+    )
+    out_w = (in_w > 0).astype(targets.dtype)
+
+    return ProposalTargets(out_rois, labels, expanded, in_w, out_w)

@@ -33,6 +33,14 @@ import jax
 import jax.numpy as jnp
 
 
+def _pick_chunk(r: int, chunk: int) -> int:
+    """Largest divisor of r that is <= chunk (bounds lax.map chunk memory)."""
+    chunk = min(chunk, r)
+    while r % chunk != 0:
+        chunk -= 1
+    return chunk
+
+
 def _interp_matrix(coords, size: int):
     """Dense 1-D bilinear interpolation matrix.
 
@@ -94,10 +102,10 @@ def roi_align(feat, rois, output_size: int = 7, spatial_scale: float = 1.0 / 16.
     intermediate; R must be a multiple of chunk (callers pad RoIs anyway).
     """
     r = rois.shape[0]
-    chunk = min(chunk, r)
+    chunk = _pick_chunk(r, chunk)
     fn = partial(_roi_align_one, feat, output_size=output_size,
                  spatial_scale=spatial_scale, sampling_ratio=sampling_ratio)
-    if r % chunk == 0 and r > chunk:
+    if r > chunk:
         batched = rois.reshape(r // chunk, chunk, 4)
         out = jax.lax.map(lambda rs: jax.vmap(fn)(rs), batched)
         return out.reshape((r,) + out.shape[2:])
@@ -147,9 +155,9 @@ def roi_pool(feat, rois, output_size: int = 7, spatial_scale: float = 1.0 / 16.0
              chunk: int = 32):
     """RoIPool ('pool' mode): feat (H, W, C), rois (R, 4) → (R, p, p, C)."""
     r = rois.shape[0]
-    chunk = min(chunk, r)
+    chunk = _pick_chunk(r, chunk)
     fn = partial(_roi_pool_one, feat, output_size=output_size, spatial_scale=spatial_scale)
-    if r % chunk == 0 and r > chunk:
+    if r > chunk:
         batched = rois.reshape(r // chunk, chunk, 4)
         out = jax.lax.map(lambda rs: jax.vmap(fn)(rs), batched)
         return out.reshape((r,) + out.shape[2:])
@@ -182,10 +190,10 @@ def crop_and_resize_pool(feat, rois, output_size: int = 7,
     (network.py:~_crop_pool_layer, crop mode).
     """
     r = rois.shape[0]
-    chunk = min(chunk, r)
+    chunk = _pick_chunk(r, chunk)
     fn = partial(_crop_resize_one, feat, crop_size=2 * output_size,
                  spatial_scale=spatial_scale)
-    if r % chunk == 0 and r > chunk:
+    if r > chunk:
         batched = rois.reshape(r // chunk, chunk, 4)
         crops = jax.lax.map(lambda rs: jax.vmap(fn)(rs), batched)
         crops = crops.reshape((r,) + crops.shape[2:])

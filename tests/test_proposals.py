@@ -1,0 +1,89 @@
+"""Proposal layer vs a numpy transcription of the reference algorithm."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from frcnn_tpu.models.proposals import proposal_layer, proposal_top_layer
+from frcnn_tpu.ops.anchors import generate_anchors_pre
+from tests import oracles
+
+
+def _case(rng, h=10, w=12, stride=16):
+    anchors, _ = generate_anchors_pre(h, w, stride,
+                                      ratios=(0.5, 1.0, 2.0), scales=(4.0, 8.0))
+    anchors = np.asarray(anchors)
+    k = anchors.shape[0]
+    scores = rng.uniform(0, 1, k).astype(np.float32)
+    deltas = (rng.randn(k, 4) * 0.1).astype(np.float32)
+    im_info = np.array([h * stride, w * stride, 1.0], np.float32)
+    return anchors, scores, deltas, im_info
+
+
+def _oracle_proposals(anchors, scores, deltas, im_info, pre_n, post_n, thresh):
+    boxes = oracles.bbox_transform_inv_np(anchors.astype(np.float64),
+                                          deltas.astype(np.float64))
+    boxes[:, 0] = np.clip(boxes[:, 0], 0, im_info[1] - 1)
+    boxes[:, 1] = np.clip(boxes[:, 1], 0, im_info[0] - 1)
+    boxes[:, 2] = np.clip(boxes[:, 2], 0, im_info[1] - 1)
+    boxes[:, 3] = np.clip(boxes[:, 3], 0, im_info[0] - 1)
+    order = scores.argsort()[::-1][:pre_n]
+    boxes, s = boxes[order], scores[order]
+    keep = oracles.nms_np(np.concatenate([boxes, s[:, None]], 1), thresh)[:post_n]
+    return boxes[keep], s[keep]
+
+
+def test_proposal_layer_matches_oracle(rng):
+    anchors, scores, deltas, im_info = _case(rng)
+    pre_n, post_n, thresh = 300, 32, 0.7
+    rois, rs, valid = proposal_layer(
+        jnp.asarray(scores), jnp.asarray(deltas), jnp.asarray(anchors),
+        jnp.asarray(im_info), pre_nms_top_n=pre_n, post_nms_top_n=post_n,
+        nms_thresh=thresh, use_pallas=False)
+    rois, rs, valid = np.asarray(rois), np.asarray(rs), np.asarray(valid)
+    want_boxes, want_scores = _oracle_proposals(anchors, scores, deltas, im_info,
+                                                pre_n, post_n, thresh)
+    n = len(want_boxes)
+    assert valid[:n].all()
+    np.testing.assert_allclose(rs[:n], want_scores, rtol=1e-5)
+    np.testing.assert_allclose(rois[:n], want_boxes, rtol=1e-4, atol=1e-2)
+
+
+def test_proposal_layer_fixed_shapes(rng):
+    anchors, scores, deltas, im_info = _case(rng)
+    rois, rs, valid = proposal_layer(
+        jnp.asarray(scores), jnp.asarray(deltas), jnp.asarray(anchors),
+        jnp.asarray(im_info), pre_nms_top_n=6000, post_nms_top_n=300,
+        nms_thresh=0.7, use_pallas=False)
+    assert rois.shape == (300, 4) and rs.shape == (300,) and valid.shape == (300,)
+    # rois inside image
+    rois = np.asarray(rois)[np.asarray(valid)]
+    assert (rois[:, 0] >= 0).all() and (rois[:, 2] <= im_info[1] - 1).all()
+
+
+def test_proposal_top_layer(rng):
+    anchors, scores, deltas, im_info = _case(rng)
+    boxes, s, valid = proposal_top_layer(
+        jnp.asarray(scores), jnp.asarray(deltas), jnp.asarray(anchors),
+        jnp.asarray(im_info), rpn_top_n=50)
+    boxes, s, valid = np.asarray(boxes), np.asarray(s), np.asarray(valid)
+    assert boxes.shape == (50, 4) and valid.all()
+    # scores are the true top-50 in descending order
+    want = np.sort(scores)[::-1][:50]
+    np.testing.assert_allclose(s, want, rtol=1e-6)
+
+
+def test_proposal_layer_masks_padding_anchors(rng):
+    # anchors centred outside the actual image (padded bucket region) must
+    # never produce valid proposals, however high their score
+    anchors, scores, deltas, im_info = _case(rng)
+    im_info = im_info.copy()
+    im_info[:2] = [80, 96]  # actual image much smaller than the anchor grid
+    scores[:] = 0.1
+    outside = ((anchors[:, 0] + anchors[:, 2]) / 2 >= 96) | \
+              ((anchors[:, 1] + anchors[:, 3]) / 2 >= 80)
+    scores[outside] = 0.99  # bait
+    rois, rs, valid = proposal_layer(
+        jnp.asarray(scores), jnp.asarray(deltas), jnp.asarray(anchors),
+        jnp.asarray(im_info), pre_nms_top_n=300, post_nms_top_n=32,
+        nms_thresh=0.7, use_pallas=False)
+    assert np.asarray(rs)[np.asarray(valid)].max() <= 0.1 + 1e-6
