@@ -1,0 +1,191 @@
+"""Minibatch loading: RoIDataLayer + blob assembly.
+
+Rebuild of reference ``lib/roi_data_layer/{layer,minibatch}.py`` and
+``lib/utils/blob.py`` (SURVEY.md #29/#30/#32) with fixed-shape TPU output:
+
+  * host side does ONLY JPEG decode (cv2, BGR like the reference), optional
+    horizontal flip, aspect-preserving resize (shorter side → SCALES,
+    longer side capped at MAX_SIZE), and zero-padding into a static bucket
+    from cfg.TPU.BUCKETS — mean subtraction moved in-graph
+    (FasterRCNN._preprocess), per BASELINE.json "preprocessing fuses into
+    the XLA graph";
+  * gt boxes are scaled and padded to cfg.TPU.MAX_GT with a validity mask
+    (the reference emits variable (G, 5) gt_boxes);
+  * unlike the reference's asserted 1-image batches, any batch size works —
+    all images of a batch share one bucket shape.
+
+RoIDataLayer keeps the reference's epoch-less shuffled-permutation cursor
+(``_cur``/``_perm``), including ASPECT_GROUPING and the get/set_state hook
+that snapshots capture for bit-exact resume (reference SolverWrapper
+snapshot contract, SURVEY.md §3.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from frcnn_tpu.config import Config
+
+
+def pick_scale_and_bucket(h: int, w: int, target_size: int, max_size: int, buckets):
+    """Resize factor (reference prep_im_for_blob math) + smallest bucket that
+    holds the scaled image.  Falls back to the largest bucket with a reduced
+    scale if none fits."""
+    im_size_min = min(h, w)
+    im_size_max = max(h, w)
+    scale = float(target_size) / float(im_size_min)
+    if np.round(scale * im_size_max) > max_size:
+        scale = float(max_size) / float(im_size_max)
+    sh, sw = int(np.round(h * scale)), int(np.round(w * scale))
+    for bh, bw in sorted(buckets, key=lambda b: b[0] * b[1]):
+        if sh <= bh and sw <= bw:
+            return scale, (bh, bw)
+    bh, bw = max(buckets, key=lambda b: b[0] * b[1])
+    shrink = min(bh / sh, bw / sw)
+    return scale * shrink, (bh, bw)
+
+
+def prep_im_for_blob(im, target_size: int, max_size: int, buckets):
+    """Resize into a bucket.  Returns (padded_im float32 (bh, bw, 3) BGR raw
+    pixels, scale).  Reference prep_im_for_blob also mean-subtracts; ours is
+    in-graph."""
+    import cv2
+
+    h, w = im.shape[:2]
+    scale, (bh, bw) = pick_scale_and_bucket(h, w, target_size, max_size, buckets)
+    resized = cv2.resize(im.astype(np.float32), None, None, fx=scale, fy=scale,
+                         interpolation=cv2.INTER_LINEAR)
+    out = np.zeros((bh, bw, 3), dtype=np.float32)
+    out[: resized.shape[0], : resized.shape[1], :] = resized
+    return out, scale
+
+
+def im_list_to_blob(ims):
+    """Pad a list of (H, W, 3) images to their max shape (reference
+    im_list_to_blob; kept for parity/tools use)."""
+    max_shape = np.array([im.shape for im in ims]).max(axis=0)
+    blob = np.zeros((len(ims), max_shape[0], max_shape[1], 3), dtype=np.float32)
+    for i, im in enumerate(ims):
+        blob[i, : im.shape[0], : im.shape[1], :] = im
+    return blob
+
+
+def get_minibatch(roidb, cfg: Config, rng: np.random.RandomState | None = None):
+    """Build one fixed-shape minibatch from roidb entries.
+
+    Returns dict: data (B, bh, bw, 3) f32 raw BGR; im_info (B, 3) [h, w,
+    scale] of the *scaled, unpadded* image; gt_boxes (B, MAX_GT, 4) scaled;
+    gt_labels (B, MAX_GT) int32; gt_valid (B, MAX_GT) bool.
+    """
+    import cv2
+
+    rng = rng or np.random
+    t = cfg.TRAIN
+    buckets = cfg.TPU.BUCKETS
+    max_gt = cfg.TPU.MAX_GT
+
+    images, infos, gtb, gtl, gtv = [], [], [], [], []
+    bucket_hw = (0, 0)
+    prepped = []
+    for entry in roidb:
+        im = cv2.imread(entry["image"])
+        assert im is not None, f"failed to read {entry['image']}"
+        if entry.get("flipped", False):
+            im = im[:, ::-1, :]
+        # scale sampled from cfg.TRAIN.SCALES (reference samples per image;
+        # we sample once per batch so shapes stay uniform)
+        target = t.SCALES[rng.randint(0, len(t.SCALES))] if len(t.SCALES) > 1 \
+            else t.SCALES[0]
+        padded, scale = prep_im_for_blob(im, target, t.MAX_SIZE, buckets)
+        prepped.append((entry, im.shape[:2], padded, scale))
+        bucket_hw = max(bucket_hw, padded.shape[:2])
+
+    for entry, (h, w), padded, scale in prepped:
+        if padded.shape[:2] != bucket_hw:  # re-pad smaller buckets up
+            up = np.zeros(bucket_hw + (3,), dtype=np.float32)
+            up[: padded.shape[0], : padded.shape[1]] = padded
+            padded = up
+        images.append(padded)
+        infos.append([np.round(h * scale), np.round(w * scale), scale])
+
+        gt_inds = np.where(entry["gt_classes"] > 0)[0] \
+            if "gt_classes" in entry else np.arange(len(entry["boxes"]))
+        boxes = entry["boxes"][gt_inds].astype(np.float32) * scale
+        labels = (entry["gt_classes"][gt_inds] if "gt_classes" in entry
+                  else np.ones(len(gt_inds))).astype(np.int32)
+        n = min(len(boxes), max_gt)
+        b = np.zeros((max_gt, 4), np.float32)
+        l = np.zeros((max_gt,), np.int32)
+        v = np.zeros((max_gt,), bool)
+        b[:n] = boxes[:n]
+        l[:n] = labels[:n]
+        v[:n] = True
+        gtb.append(b)
+        gtl.append(l)
+        gtv.append(v)
+
+    return {
+        "data": np.stack(images),
+        "im_info": np.asarray(infos, np.float32),
+        "gt_boxes": np.stack(gtb),
+        "gt_labels": np.stack(gtl),
+        "gt_valid": np.stack(gtv),
+    }
+
+
+class RoIDataLayer:
+    """Epoch-less minibatch iterator (reference lib/roi_data_layer/layer.py).
+
+    Shuffled permutation with optional aspect grouping; the cursor/permutation
+    are snapshot state (reference saves _cur/_perm + numpy RNG into the .pkl
+    beside each .pth — SURVEY.md §3.4)."""
+
+    def __init__(self, roidb, cfg: Config, random: bool = False,
+                 batch_size: int | None = None):
+        self._roidb = roidb
+        self._cfg = cfg
+        self._random = random
+        self._batch = batch_size or cfg.TRAIN.IMS_PER_BATCH
+        self._rng = np.random.RandomState(cfg.RNG_SEED)
+        self._shuffle_roidb_inds()
+
+    def _shuffle_roidb_inds(self):
+        if self._random:  # reference uses time-seeded randomness for val
+            self._rng = np.random.RandomState(np.random.randint(0, 2**31 - 1))
+        if self._cfg.TRAIN.ASPECT_GROUPING:
+            widths = np.array([r["width"] for r in self._roidb])
+            heights = np.array([r["height"] for r in self._roidb])
+            horz = widths >= heights
+            horz_inds = np.where(horz)[0]
+            vert_inds = np.where(~horz)[0]
+            inds = np.hstack((self._rng.permutation(horz_inds),
+                              self._rng.permutation(vert_inds)))
+            row = inds.reshape(-1, 2) if len(inds) % 2 == 0 else None
+            if row is not None:
+                self._perm = row[self._rng.permutation(len(row))].ravel()
+            else:
+                self._perm = self._rng.permutation(len(self._roidb))
+        else:
+            self._perm = self._rng.permutation(len(self._roidb))
+        self._cur = 0
+
+    def _get_next_minibatch_inds(self):
+        if self._cur + self._batch > len(self._roidb):
+            self._shuffle_roidb_inds()
+        inds = self._perm[self._cur : self._cur + self._batch]
+        self._cur += self._batch
+        return inds
+
+    def forward(self):
+        inds = self._get_next_minibatch_inds()
+        return get_minibatch([self._roidb[i] for i in inds], self._cfg, self._rng)
+
+    # -- snapshot state (reference SolverWrapper.snapshot saves these) -------
+    def get_state(self):
+        return {"cur": self._cur, "perm": np.asarray(self._perm),
+                "rng": self._rng.get_state()}
+
+    def set_state(self, state):
+        self._cur = int(state["cur"])
+        self._perm = np.asarray(state["perm"])
+        self._rng.set_state(state["rng"])

@@ -1,0 +1,257 @@
+"""Data pipeline: synthetic VOC devkit, loader, evaluators."""
+
+import dataclasses
+import json
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+
+from frcnn_tpu.config import default_config
+
+
+VOC_CLASSES_USED = ["dog", "cat", "car"]
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    """Synthetic VOCdevkit2007 with 6 images and simple box annotations."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("data")
+    devkit = root / "VOCdevkit2007"
+    d = devkit / "VOC2007"
+    (d / "Annotations").mkdir(parents=True)
+    (d / "ImageSets" / "Main").mkdir(parents=True)
+    (d / "JPEGImages").mkdir(parents=True)
+
+    rng = np.random.RandomState(0)
+    index = []
+    gt = {}
+    for i in range(6):
+        name = f"{i:06d}"
+        index.append(name)
+        h, w = rng.choice([240, 320]), rng.choice([320, 400])
+        im = rng.randint(0, 255, (h, w, 3), np.uint8)
+        boxes = []
+        for j in range(rng.randint(1, 4)):
+            x1 = rng.randint(0, w - 60)
+            y1 = rng.randint(0, h - 60)
+            x2 = x1 + rng.randint(30, 59)
+            y2 = y1 + rng.randint(30, 59)
+            cls = VOC_CLASSES_USED[rng.randint(0, 3)]
+            diff = 1 if (i == 0 and j == 0) else 0
+            boxes.append((cls, x1, y1, x2, y2, diff))
+            im[y1:y2, x1:x2] = rng.randint(0, 255, 3)
+        cv2.imwrite(str(d / "JPEGImages" / f"{name}.jpg"), im)
+        gt[name] = boxes
+        objs = "".join(
+            f"""  <object><name>{c}</name><pose>Left</pose><truncated>0</truncated>
+    <difficult>{df}</difficult>
+    <bndbox><xmin>{x1+1}</xmin><ymin>{y1+1}</ymin><xmax>{x2+1}</xmax><ymax>{y2+1}</ymax></bndbox>
+  </object>\n""" for c, x1, y1, x2, y2, df in boxes)
+        (d / "Annotations" / f"{name}.xml").write_text(
+            f"""<annotation><folder>VOC2007</folder><filename>{name}.jpg</filename>
+<size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+{objs}</annotation>""")
+    for split in ("trainval", "test"):
+        (d / "ImageSets" / "Main" / f"{split}.txt").write_text("\n".join(index) + "\n")
+    return str(root), gt
+
+
+def _make_voc(voc_root, split="test"):
+    from frcnn_tpu.data.pascal_voc import pascal_voc
+
+    root, gt = voc_root
+    ds = pascal_voc(split, "2007", devkit_path=osp.join(root, "VOCdevkit2007"))
+    # redirect the cache into the tmp tree (fresh per test session)
+    cache = osp.join(root, "cache", split)
+    os.makedirs(cache, exist_ok=True)
+    type(ds).cache_path = property(lambda self, c=cache: c)
+    return ds, gt
+
+
+def test_voc_loading(voc_root):
+    ds, gt = _make_voc(voc_root)
+    assert ds.num_classes == 21
+    assert ds.num_images == 6
+    roidb = ds.roidb
+    # difficult box of image 0 is skipped; coords are 0-based
+    name0 = ds.image_index[0]
+    non_diff = [b for b in gt[name0] if not b[5]]
+    assert roidb[0]["boxes"].shape[0] == len(non_diff)
+    for (cls, x1, y1, x2, y2, _), row, c in zip(
+            non_diff, roidb[0]["boxes"], roidb[0]["gt_classes"]):
+        assert list(row) == [x1, y1, x2, y2]
+        assert ds.classes[c] == cls
+
+
+def test_voc_flip_augmentation(voc_root):
+    ds, _ = _make_voc(voc_root, split="trainval")
+    from frcnn_tpu.data.roidb import prepare_roidb
+
+    n = ds.num_images
+    _ = ds.roidb
+    prepare_roidb(ds)
+    ds.append_flipped_images()
+    assert len(ds.roidb) == 2 * n
+    for i in range(n):
+        w = ds.roidb[i]["width"]
+        orig = ds.roidb[i]["boxes"]
+        flip = ds.roidb[i + n]["boxes"]
+        np.testing.assert_array_equal(flip[:, 0], w - orig[:, 2] - 1)
+        np.testing.assert_array_equal(flip[:, 2], w - orig[:, 0] - 1)
+        assert ds.roidb[i + n]["flipped"]
+
+
+def test_voc_eval_perfect_detections(voc_root, tmp_path):
+    """Feeding the ground truth back as detections → mAP exactly 1."""
+    ds, gt = _make_voc(voc_root)
+    ds.competition_mode(True)
+    all_boxes = [[np.zeros((0, 5), np.float32) for _ in range(ds.num_images)]
+                 for _ in range(ds.num_classes)]
+    for i in range(ds.num_images):
+        entry = ds.roidb[i]
+        for box, cls in zip(entry["boxes"], entry["gt_classes"]):
+            det = np.array([[box[0], box[1], box[2], box[3], 0.9]], np.float32)
+            all_boxes[cls][i] = np.vstack([all_boxes[cls][i], det])
+    results = ds.evaluate_detections(all_boxes, str(tmp_path))
+    present = {c for e in ds.roidb for c in e["gt_classes"]}
+    for ci in present:
+        assert results[ds.classes[ci]] > 0.99
+    assert results["mAP"] > 0.0  # absent classes score 0, mAP still positive
+
+
+def test_voc_eval_misses_lower_ap(voc_root, tmp_path):
+    ds, _ = _make_voc(voc_root)
+    ds.competition_mode(True)
+    # detect only the first gt box of each image → recall < 1 for some class
+    all_boxes = [[np.zeros((0, 5), np.float32) for _ in range(ds.num_images)]
+                 for _ in range(ds.num_classes)]
+    total = dict()
+    for i in range(ds.num_images):
+        entry = ds.roidb[i]
+        for k, (box, cls) in enumerate(zip(entry["boxes"], entry["gt_classes"])):
+            total[cls] = total.get(cls, 0) + 1
+            if k == 0:
+                det = np.array([[box[0], box[1], box[2], box[3], 0.9]], np.float32)
+                all_boxes[cls][i] = np.vstack([all_boxes[cls][i], det])
+    results = ds.evaluate_detections(all_boxes, str(tmp_path))
+    assert 0.0 < results["mAP"] <= 1.0
+
+
+def test_minibatch_shapes(voc_root):
+    from frcnn_tpu.data.loader import RoIDataLayer
+    from frcnn_tpu.data.roidb import prepare_roidb
+
+    ds, _ = _make_voc(voc_root, split="trainval")
+    _ = ds.roidb
+    prepare_roidb(ds)
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, TPU=dataclasses.replace(cfg.TPU, BUCKETS=((256, 320), (320, 448)),
+                                     MAX_GT=8),
+        TRAIN=dataclasses.replace(cfg.TRAIN, SCALES=(200,), MAX_SIZE=400,
+                                  IMS_PER_BATCH=2))
+    layer = RoIDataLayer(ds.roidb, cfg)
+    blobs = layer.forward()
+    b, h, w, c = blobs["data"].shape
+    assert b == 2 and c == 3 and (h, w) in cfg.TPU.BUCKETS
+    assert blobs["gt_boxes"].shape == (2, 8, 4)
+    assert blobs["im_info"].shape == (2, 3)
+    # scaled gt stays inside the scaled image
+    for i in range(2):
+        ih, iw, s = blobs["im_info"][i]
+        gtv = blobs["gt_valid"][i]
+        assert gtv.any()
+        gb = blobs["gt_boxes"][i][gtv]
+        assert (gb[:, 2] <= iw + 1).all() and (gb[:, 3] <= ih + 1).all()
+        assert (blobs["gt_labels"][i][gtv] > 0).all()
+
+
+def test_data_layer_state_roundtrip(voc_root):
+    from frcnn_tpu.data.loader import RoIDataLayer
+    from frcnn_tpu.data.roidb import prepare_roidb
+
+    ds, _ = _make_voc(voc_root, split="trainval")
+    _ = ds.roidb
+    prepare_roidb(ds)
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, TPU=dataclasses.replace(cfg.TPU, BUCKETS=((256, 320), (320, 448))),
+        TRAIN=dataclasses.replace(cfg.TRAIN, SCALES=(200,), MAX_SIZE=400))
+    layer = RoIDataLayer(ds.roidb, cfg)
+    layer.forward()
+    state = layer.get_state()
+    a = layer.forward()
+    layer2 = RoIDataLayer(ds.roidb, cfg)
+    layer2.set_state(state)
+    b = layer2.forward()
+    np.testing.assert_array_equal(a["data"], b["data"])
+    np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+
+
+def test_coco_eval_perfect():
+    from frcnn_tpu.data.coco_eval import COCOEval
+
+    rng = np.random.RandomState(1)
+    cats = [{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]
+    gts, dts = [], []
+    aid = 1
+    for img in range(4):
+        for _ in range(3):
+            x, y = rng.uniform(0, 200, 2)
+            w, h = rng.uniform(20, 80, 2)
+            cat = int(rng.randint(1, 3))
+            gts.append({"id": aid, "image_id": img, "category_id": cat,
+                        "bbox": [x, y, w, h], "area": w * h, "iscrowd": 0})
+            dts.append({"image_id": img, "category_id": cat,
+                        "bbox": [x, y, w, h], "score": 0.9})
+            aid += 1
+    ev = COCOEval(gts, dts, cats)
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize(verbose=False)
+    assert stats["AP"] > 0.99 and stats["AP50"] > 0.99 and stats["AR100"] > 0.99
+
+
+def test_coco_eval_half_detections():
+    from frcnn_tpu.data.coco_eval import COCOEval
+
+    cats = [{"id": 1, "name": "a"}]
+    gts, dts = [], []
+    for img in range(10):
+        gts.append({"id": img + 1, "image_id": img, "category_id": 1,
+                    "bbox": [10, 10, 50, 50], "area": 2500, "iscrowd": 0})
+        if img < 5:  # only half detected, perfectly
+            dts.append({"image_id": img, "category_id": 1,
+                        "bbox": [10, 10, 50, 50], "score": 0.9})
+    ev = COCOEval(gts, dts, cats)
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize(verbose=False)
+    assert abs(stats["AP"] - 0.5) < 0.02
+    assert abs(stats["AR100"] - 0.5) < 0.02
+
+
+def test_coco_eval_crowd_ignore():
+    from frcnn_tpu.data.coco_eval import COCOEval
+
+    cats = [{"id": 1, "name": "a"}]
+    # one real gt + one crowd region; a det inside the crowd must not be FP
+    gts = [
+        {"id": 1, "image_id": 0, "category_id": 1, "bbox": [10, 10, 40, 40],
+         "area": 1600, "iscrowd": 0},
+        {"id": 2, "image_id": 0, "category_id": 1, "bbox": [100, 100, 80, 80],
+         "area": 6400, "iscrowd": 1},
+    ]
+    dts = [
+        {"image_id": 0, "category_id": 1, "bbox": [10, 10, 40, 40], "score": 0.9},
+        {"image_id": 0, "category_id": 1, "bbox": [110, 110, 30, 30], "score": 0.8},
+    ]
+    ev = COCOEval(gts, dts, cats)
+    ev.evaluate()
+    ev.accumulate()
+    stats = ev.summarize(verbose=False)
+    assert stats["AP"] > 0.99  # crowd-matched det ignored, not a false positive
