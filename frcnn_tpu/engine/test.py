@@ -1,0 +1,121 @@
+"""Evaluation driver.
+
+Rebuild of reference ``lib/model/test.py:~1-250`` (SURVEY.md #4):
+``im_detect`` (single image → per-class scores + decoded boxes in original
+coords) and ``test_net`` (dataset loop → per-class NMS → capped detections →
+detections.pkl → imdb.evaluate_detections).
+
+TPU-native differences: images are batched into fixed-shape buckets and the
+entire per-image pipeline — preprocessing, backbone, proposals, RoI head,
+delta decode, per-class NMS, global top-k — runs inside ONE jitted call
+(``FasterRCNN.detect``); the reference does per-class NMS in a Python loop
+on the host.  One compilation per (bucket, batch) shape.
+"""
+
+from __future__ import annotations
+
+import os.path as osp
+import pickle
+from functools import partial
+
+import jax
+import numpy as np
+
+from frcnn_tpu.config import Config
+from frcnn_tpu.data.loader import prep_im_for_blob
+from frcnn_tpu.utils.timer import Timer
+
+
+def _prep(im, cfg: Config):
+    blob, scale = prep_im_for_blob(im, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE,
+                                   cfg.TPU.BUCKETS)
+    h, w = im.shape[:2]
+    info = np.array([np.round(h * scale), np.round(w * scale), scale],
+                    np.float32)
+    return blob, info
+
+
+def im_detect(model, variables, im, cfg: Config | None = None):
+    """Single-image detection (reference im_detect): returns
+    (scores (N, C), boxes (N, 4C) in ORIGINAL image coords, valid (N,))."""
+    cfg = cfg or model.config
+    blob, info = _prep(im, cfg)
+    out = model.apply(variables, blob[None], info[None], method="predict")
+    boxes = model.apply(variables, out, info[None], method="decode_detections")
+    return (np.asarray(out["cls_prob"][0]), np.asarray(boxes[0]),
+            np.asarray(out["roi_valid"][0]))
+
+
+def test_net(model, variables, imdb, cfg: Config | None = None,
+             output_dir: str = "output", max_per_image: int = 100,
+             batch: int = 8, verbose: bool = True):
+    """Dataset evaluation (reference test_net): returns the eval results dict
+    (per-class AP + mAP for VOC; COCO stats for COCO)."""
+    import cv2
+
+    cfg = cfg or model.config
+    num_images = imdb.num_images
+    all_boxes = [[np.zeros((0, 5), np.float32) for _ in range(num_images)]
+                 for _ in range(imdb.num_classes)]
+
+    detect = jax.jit(partial(model.apply, method="detect"),
+                     static_argnames=("max_per_image",))
+
+    _t = {"im_detect": Timer(), "misc": Timer()}
+    for start in range(0, num_images, batch):
+        idx = list(range(start, min(start + batch, num_images)))
+        pad = batch - len(idx)
+        blobs, infos, scales = [], [], []
+        for i in idx:
+            im = cv2.imread(imdb.image_path_at(i))
+            assert im is not None, imdb.image_path_at(i)
+            blob, info = _prep(im, cfg)
+            blobs.append(blob)
+            infos.append(info)
+        for _ in range(pad):
+            blobs.append(np.zeros_like(blobs[0]))
+            infos.append(np.array([1.0, 1.0, 1.0], np.float32))
+
+        _t["im_detect"].tic()
+        dets, valid = detect(variables, np.stack(blobs), np.stack(infos),
+                             max_per_image=max_per_image)
+        dets, valid = np.asarray(dets), np.asarray(valid)
+        detect_time = _t["im_detect"].toc(average=False)
+
+        _t["misc"].tic()
+        for bi, i in enumerate(idx):
+            d = dets[bi][valid[bi]]
+            for cls_ind in range(1, imdb.num_classes):
+                rows = d[d[:, 5] == cls_ind]
+                if len(rows):
+                    all_boxes[cls_ind][i] = rows[:, :5].astype(np.float32)
+        misc_time = _t["misc"].toc(average=False)
+        if verbose:
+            print(f"im_detect: {min(start + batch, num_images)}/{num_images} "
+                  f"{detect_time / len(idx):.3f}s {misc_time / len(idx):.3f}s")
+
+    det_file = osp.join(output_dir, "detections.pkl")
+    with open(det_file, "wb") as f:
+        pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+
+    print("Evaluating detections")
+    return imdb.evaluate_detections(all_boxes, output_dir)
+
+
+def apply_nms(all_boxes, thresh: float):
+    """Host-side per-class NMS over saved detections (reference apply_nms,
+    used by tools/reval.py on detections.pkl)."""
+    from frcnn_tpu.native.host_ops import nms_cpu
+
+    num_classes = len(all_boxes)
+    num_images = len(all_boxes[0])
+    nms_boxes = [[np.zeros((0, 5), np.float32) for _ in range(num_images)]
+                 for _ in range(num_classes)]
+    for cls_ind in range(num_classes):
+        for im_ind in range(num_images):
+            dets = all_boxes[cls_ind][im_ind]
+            if len(dets) == 0:
+                continue
+            keep = nms_cpu(dets, thresh)
+            nms_boxes[cls_ind][im_ind] = dets[keep, :]
+    return nms_boxes

@@ -26,6 +26,69 @@ def rng():
     return np.random.RandomState(3)  # cfg.RNG_SEED
 
 
+VOC_CLASSES_USED = ["dog", "cat", "car"]
+
+
+@pytest.fixture(scope="session")
+def voc_root(tmp_path_factory):
+    """Synthetic VOCdevkit2007 with 6 images and simple box annotations."""
+    import cv2
+
+    root = tmp_path_factory.mktemp("data")
+    devkit = root / "VOCdevkit2007"
+    d = devkit / "VOC2007"
+    (d / "Annotations").mkdir(parents=True)
+    (d / "ImageSets" / "Main").mkdir(parents=True)
+    (d / "JPEGImages").mkdir(parents=True)
+
+    rng = np.random.RandomState(0)
+    index = []
+    gt = {}
+    for i in range(6):
+        name = f"{i:06d}"
+        index.append(name)
+        h, w = rng.choice([240, 320]), rng.choice([320, 400])
+        im = rng.randint(0, 255, (h, w, 3), np.uint8)
+        boxes = []
+        for j in range(rng.randint(1, 4)):
+            x1 = rng.randint(0, w - 60)
+            y1 = rng.randint(0, h - 60)
+            x2 = x1 + rng.randint(30, 59)
+            y2 = y1 + rng.randint(30, 59)
+            cls = VOC_CLASSES_USED[rng.randint(0, 3)]
+            diff = 1 if (i == 0 and j == 0) else 0
+            boxes.append((cls, x1, y1, x2, y2, diff))
+            im[y1:y2, x1:x2] = rng.randint(0, 255, 3)
+        cv2.imwrite(str(d / "JPEGImages" / f"{name}.jpg"), im)
+        gt[name] = boxes
+        objs = "".join(
+            f"""  <object><name>{c}</name><pose>Left</pose><truncated>0</truncated>
+    <difficult>{df}</difficult>
+    <bndbox><xmin>{x1+1}</xmin><ymin>{y1+1}</ymin><xmax>{x2+1}</xmax><ymax>{y2+1}</ymax></bndbox>
+  </object>\n""" for c, x1, y1, x2, y2, df in boxes)
+        (d / "Annotations" / f"{name}.xml").write_text(
+            f"""<annotation><folder>VOC2007</folder><filename>{name}.jpg</filename>
+<size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+{objs}</annotation>""")
+    for split in ("trainval", "test"):
+        (d / "ImageSets" / "Main" / f"{split}.txt").write_text("\n".join(index) + "\n")
+    return str(root), gt
+
+
+def make_voc(voc_root, split="test"):
+    """pascal_voc instance over the synthetic devkit with redirected cache."""
+    import os
+    import os.path as osp
+    from frcnn_tpu.data.pascal_voc import pascal_voc
+
+    root, gt = voc_root
+    ds = pascal_voc(split, "2007", devkit_path=osp.join(root, "VOCdevkit2007"))
+    cache = osp.join(root, "cache", split)
+    os.makedirs(cache, exist_ok=True)
+    type(ds).cache_path = property(lambda self, c=cache: c)
+    return ds, gt
+
+
 def random_boxes(rng, n, width=800, height=600, min_size=2.0):
     """Random well-formed inclusive-corner boxes."""
     x1 = rng.uniform(0, width - min_size - 1, n)
