@@ -1,0 +1,148 @@
+"""Pallas TPU greedy-NMS kernel.
+
+TPU-native replacement for the reference's CUDA NMS
+(``lib/nms/src/cuda/nms_kernel.cu:~1-150``, SURVEY.md #19).  Same blocked
+algorithm family as the CUDA kernel's 64-box tiles, shaped for the VPU:
+
+  boxes arrive score-DESC sorted (the proposal layer sorts).  Grid steps walk
+  score-ordered tiles of 128 boxes sequentially (TPU grid steps run in order
+  on one core, so a VMEM scratch carries the running suppressed mask):
+    1. resolve intra-tile greedy suppression (128 tiny steps over a
+       128x128 pairwise-IoU matrix, pure vector ops — no dynamic indexing:
+       row i is extracted with an iota==i mask);
+    2. the tile's kept boxes suppress all later boxes in one vectorized
+       (128 x CHUNK) IoU sweep, chunked to bound VMEM.
+
+Exactly greedy — bit-identical to ``frcnn_tpu.ops.nms.nms_mask`` (tested in
+tests/test_pallas_kernels.py, interpret mode on CPU + compiled on TPU).
+
+Layout notes: coordinates are passed transposed as (4, N) so each chunk slice
+is a lane-aligned (1, CHUNK) row; masks live as (1, N) int32 rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+CHUNK = 1024
+
+
+def _iou_mask(x1a, y1a, x2a, y2a, x1b, y1b, x2b, y2b, thresh):
+    """Pairwise IoU > thresh for column vectors a (T,1) vs row vectors b (1,C)."""
+    iw = jnp.minimum(x2a, x2b) - jnp.maximum(x1a, x1b) + 1.0
+    ih = jnp.minimum(y2a, y2b) - jnp.maximum(y1a, y1b) + 1.0
+    iw = jnp.maximum(iw, 0.0)
+    ih = jnp.maximum(ih, 0.0)
+    inter = iw * ih
+    area_a = (x2a - x1a + 1.0) * (y2a - y1a + 1.0)
+    area_b = (x2b - x1b + 1.0) * (y2b - y1b + 1.0)
+    return inter > thresh * (area_a + area_b - inter)
+
+
+def _nms_kernel(coords_ref, valid_ref, keep_ref, sup_ref, *, thresh, n):
+    ti = pl.program_id(0)
+
+    @pl.when(ti == 0)
+    def _():
+        sup_ref[:, :] = 1 - valid_ref[:, :]
+
+    start = pl.multiple_of(ti * TILE, TILE)
+    # tile coordinates as columns (T, 1)
+    xt1 = coords_ref[0:1, pl.ds(start, TILE)].reshape(TILE, 1)
+    yt1 = coords_ref[1:2, pl.ds(start, TILE)].reshape(TILE, 1)
+    xt2 = coords_ref[2:3, pl.ds(start, TILE)].reshape(TILE, 1)
+    yt2 = coords_ref[3:4, pl.ds(start, TILE)].reshape(TILE, 1)
+
+    # (T, T) intra-tile IoU > thresh
+    masked = _iou_mask(xt1, yt1, xt2, yt2,
+                       xt1.reshape(1, TILE), yt1.reshape(1, TILE),
+                       xt2.reshape(1, TILE), yt2.reshape(1, TILE), thresh)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+    col_idx = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (1, TILE), 1)
+
+    # int32 carry: Mosaic cannot legalize loops carrying i1 vectors
+    sup_t = sup_ref[0:1, pl.ds(start, TILE)]  # (1, T) i32
+
+    def intra(i, sup_t):
+        alive = jnp.max(jnp.where(t_idx == i, sup_t, 0)) == 0  # scalar
+        row = jnp.any(masked & (row_idx == i), axis=0, keepdims=True)  # (1, T)
+        new = (alive & row & (t_idx > i)).astype(jnp.int32)
+        return jnp.maximum(sup_t, new)
+
+    sup_t = jax.lax.fori_loop(0, TILE, intra, sup_t)
+    kept = 1 - sup_t  # (1, T) i32
+    sup_ref[0:1, pl.ds(start, TILE)] = sup_t
+    keep_ref[:, :] = kept
+
+    # cross-tile: kept tile boxes suppress all later boxes, chunked
+    # (reshape in i32: Mosaic can't re-layout 1-bit vectors across dims)
+    kept_col = kept.reshape(TILE, 1) > 0
+    g_row = start + t_idx.reshape(TILE, 1)  # (T, 1) global row index
+
+    def chunk_body(jb, _):
+        cs = pl.multiple_of(jb * CHUNK, CHUNK)
+        xc1 = coords_ref[0:1, pl.ds(cs, CHUNK)]
+        yc1 = coords_ref[1:2, pl.ds(cs, CHUNK)]
+        xc2 = coords_ref[2:3, pl.ds(cs, CHUNK)]
+        yc2 = coords_ref[3:4, pl.ds(cs, CHUNK)]
+        iou = _iou_mask(xt1, yt1, xt2, yt2, xc1, yc1, xc2, yc2, thresh)
+        g_col = cs + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        new_sup = jnp.any(kept_col & iou & (g_col > g_row), axis=0,
+                          keepdims=True)  # (1, CHUNK)
+        cur = sup_ref[0:1, pl.ds(cs, CHUNK)]
+        sup_ref[0:1, pl.ds(cs, CHUNK)] = jnp.maximum(
+            cur, new_sup.astype(jnp.int32))
+        return 0
+
+    # only chunks at/after this tile can contain later boxes
+    first_chunk = start // CHUNK
+    jax.lax.fori_loop(first_chunk, n // CHUNK, chunk_body, 0)
+
+
+@partial(jax.jit, static_argnames=("thresh",))
+def _nms_pallas_padded(coords, valid, thresh: float):
+    n = coords.shape[1]
+    kernel = partial(_nms_kernel, thresh=float(thresh), n=n)
+    keep = pl.pallas_call(
+        kernel,
+        grid=(n // TILE,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # coords (4, N), whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # valid (1, N), whole
+        ],
+        out_specs=pl.BlockSpec((1, TILE), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((1, n), jnp.int32)],
+    )(coords, valid)
+    return keep[0]
+
+
+def nms_mask_pallas(boxes, thresh, valid=None, interpret: bool = False):
+    """Greedy NMS keep-mask.  boxes (N, 4) score-DESC sorted → (N,) bool.
+
+    Semantics identical to ops.nms.nms_mask.  N is padded to a multiple of
+    lcm(TILE, CHUNK) internally.
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    pad = (-n) % CHUNK
+    if pad:
+        boxes = jnp.pad(boxes, ((0, pad), (0, 0)))
+        valid = jnp.pad(valid, (0, pad))
+    coords = boxes.T.astype(jnp.float32)          # (4, N)
+    valid_row = valid[None, :].astype(jnp.int32)  # (1, N)
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            keep = _nms_pallas_padded(coords, valid_row, float(thresh))
+    else:
+        keep = _nms_pallas_padded(coords, valid_row, float(thresh))
+    return (keep > 0)[:n]

@@ -208,12 +208,12 @@ def extract_roi_features(feat, rois, mode: str = "align", output_size: int = 7,
                          use_pallas: bool = True):
     """cfg.POOLING_MODE dispatcher (reference Network._crop_pool_layer)."""
     if mode == "align":
-        if use_pallas and jax.default_backend() == "tpu":
+        if (use_pallas and jax.default_backend() == "tpu"
+                and feat.shape[-1] % 128 == 0):
             from frcnn_tpu.ops.pallas.roi_align_kernel import roi_align_pallas
 
-            return roi_align_pallas(feat, rois, output_size=output_size,
-                                    spatial_scale=spatial_scale,
-                                    sampling_ratio=sampling_ratio)
+            return roi_align_pallas(feat, rois, output_size,
+                                    spatial_scale, sampling_ratio)
         return roi_align(feat, rois, output_size, spatial_scale, sampling_ratio)
     if mode == "pool":
         return roi_pool(feat, rois, output_size, spatial_scale)
