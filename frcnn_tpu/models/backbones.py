@@ -158,9 +158,10 @@ class Bottleneck(nn.Module):
         y = conv(self.channels, (1, 1), name="conv1")(x)
         y = bn(name="bn1")(y)
         y = nn.relu(y)
-        # torchvision-style: stride on the 3x3
+        # torchvision-style: stride on the 3x3; symmetric padding 1 (flax
+        # 'SAME' pads asymmetrically under stride 2 — breaks weight parity)
         y = conv(self.channels, (3, 3), strides=(self.stride, self.stride),
-                 padding="SAME", name="conv2")(y)
+                 padding=[(1, 1), (1, 1)], name="conv2")(y)
         y = bn(name="bn2")(y)
         y = nn.relu(y)
         y = conv(self.channels * 4, (1, 1), name="conv3")(y)
