@@ -117,6 +117,21 @@ class MobileNetConfig:
 
 
 @dataclass(frozen=True)
+class FPNConfig:
+    """Feature Pyramid Network (BASELINE.json config 3 — the one capability
+    beyond the reference, which is single-level C4)."""
+
+    OUT_CHANNELS: int = 256
+    MIN_LEVEL: int = 2               # P2 (stride 4)
+    MAX_LEVEL: int = 5               # P5 (stride 32); RPN also sees P6
+    ANCHOR_SCALE: float = 8.0        # anchor size = scale * stride per level
+    ROI_CANONICAL_SCALE: float = 224.0   # level assignment k0 reference size
+    ROI_CANONICAL_LEVEL: int = 4
+    PRE_NMS_PER_LEVEL_TRAIN: int = 2000
+    PRE_NMS_PER_LEVEL_TEST: int = 1000
+
+
+@dataclass(frozen=True)
 class TPUConfig:
     """TPU-native additions (no reference counterpart).
 
@@ -141,6 +156,7 @@ class Config:
     TEST: TestConfig = field(default_factory=TestConfig)
     RESNET: ResNetConfig = field(default_factory=ResNetConfig)
     MOBILENET: MobileNetConfig = field(default_factory=MobileNetConfig)
+    FPN: FPNConfig = field(default_factory=FPNConfig)
     TPU: TPUConfig = field(default_factory=TPUConfig)
 
     # Top-level keys (reference lib/model/config.py:~L190-L280).

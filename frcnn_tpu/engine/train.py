@@ -99,13 +99,11 @@ def combined_roidb(imdb_names: str, cfg: Config):
 def _param_labels(model, params) -> Any:
     """Label tree: 'frozen' | 'bias' | 'weight' per leaf.
 
-    Frozen = backbone.frozen_param says so (FrozenBatchNorm, fixed blocks);
-    bias = trainable leaf named 'bias' (gets DOUBLE_BIAS lr, no decay).
+    Frozen = the model's frozen_param policy says so (FrozenBatchNorm, fixed
+    blocks); bias = trainable leaf named 'bias' (DOUBLE_BIAS lr, no decay).
     """
-    backbone = model.backbone
     cfg = model.config
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    labels = {}
 
     def put(d, path, val):
         node = d
@@ -116,7 +114,7 @@ def _param_labels(model, params) -> Any:
     out: dict = {}
     for path, _ in flat:
         names = tuple(getattr(p, "key", getattr(p, "name", str(p))) for p in path)
-        if names[0] == "backbone" and backbone.frozen_param(names[1:], cfg):
+        if model.frozen_param(names, cfg):
             label = "frozen"
         elif names[-1] == "bias":
             label = "bias"

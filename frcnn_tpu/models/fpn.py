@@ -1,0 +1,325 @@
+"""Feature Pyramid Network Faster R-CNN (BASELINE.json config 3).
+
+The one capability *beyond* the reference (which is single-level C4,
+SURVEY.md §7 step 9): ResNet-50/101/152 C2-C5 + a top-down FPN neck (P2-P5,
+P6 for RPN), a shared RPN head over all levels with one anchor size per
+level (size = FPN.ANCHOR_SCALE * stride), joint cross-level proposal NMS,
+RoI level assignment k = floor(k0 + log2(sqrt(wh)/224)) clamped to [P2, P5],
+per-level RoIAlign (gather formulation — per-roi cost independent of level
+size), and a 2-fc-1024 box head.
+
+Everything stays fixed-shape: per-level anchors concatenate into one anchor
+table so the base anchor/proposal target layers apply unchanged; per-level
+RoI features are computed for ALL rois on EVERY level and the assigned
+level's result selected with a mask (4x RoIAlign work, zero dynamic shapes
+— RoIAlign is a tiny fraction of the graph).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from frcnn_tpu.config import Config
+from frcnn_tpu.models.backbones import Bottleneck, FrozenBatchNorm, _RESNET_DEPTHS, conv_init
+from frcnn_tpu.models.losses import detection_losses
+from frcnn_tpu.models.network import postprocess_detections, decode_boxes
+from frcnn_tpu.models.proposals import proposal_layer
+from frcnn_tpu.models.targets import anchor_target_layer, proposal_target_layer
+from frcnn_tpu.ops.anchors import generate_anchors_pre
+from frcnn_tpu.ops.roi_align import roi_align_gather
+
+
+class _ResNetStages(nn.Module):
+    """ResNet trunk returning C2..C5 (strides 4, 8, 16, 32)."""
+
+    depth: int = 101
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        blocks = _RESNET_DEPTHS[self.depth]
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, kernel_init=conv_init,
+                    name="conv1")(x)
+        x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        outs = []
+        for li, (n, ch, stride) in enumerate(
+                zip(blocks, (64, 128, 256, 512), (1, 2, 2, 2)), start=1):
+            for bi in range(n):
+                x = Bottleneck(ch, stride if bi == 0 else 1, dtype=self.dtype,
+                               name=f"layer{li}_block{bi}")(x)
+            outs.append(x)
+        return outs  # [C2, C3, C4, C5]
+
+
+class FPNNeck(nn.Module):
+    """Top-down pathway + lateral connections (Lin et al. FPN)."""
+
+    out_channels: int = 256
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats):
+        # feats: [C2, C3, C4, C5] low→high stride
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                    kernel_init=conv_init, name=f"lateral{i + 2}")(f)
+            for i, f in enumerate(feats)
+        ]
+        outs = [laterals[-1]]
+        for lat in laterals[-2::-1]:
+            top = outs[0]
+            up = jax.image.resize(top, lat.shape[:1] + (lat.shape[1], lat.shape[2])
+                                  + top.shape[3:], method="nearest")
+            outs.insert(0, lat + up)
+        ps = [
+            nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
+                    kernel_init=conv_init, name=f"output{i + 2}")(o)
+            for i, o in enumerate(outs)
+        ]
+        # P6 for RPN only: stride-2 subsample of P5 (Detectron maxpool-1)
+        p6 = nn.max_pool(ps[-1], (1, 1), strides=(2, 2))
+        return ps + [p6]  # [P2, P3, P4, P5, P6]
+
+
+class _FPNBoxHead(nn.Module):
+    """2-fc-1024 box head (standard FPN head; replaces the C4 layer4 tail)."""
+
+    dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, pooled, train: bool = False):
+        x = pooled.reshape(pooled.shape[0], -1).astype(self.dtype)
+        x = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="fc1")(x))
+        x = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x))
+        return x
+
+
+class FasterRCNNFPN(nn.Module):
+    """FPN detector with the same predict/detect/train_forward API as
+    FasterRCNN (models/network.py)."""
+
+    num_classes: int
+    config: Config
+    depth: int = 101
+    dtype: Any = jnp.float32
+
+    @property
+    def _A(self) -> int:
+        return len(self.config.ANCHOR_RATIOS)  # one scale per level
+
+    @property
+    def _levels(self):
+        f = self.config.FPN
+        return tuple(range(f.MIN_LEVEL, f.MAX_LEVEL + 2))  # P2..P6 (RPN)
+
+    def setup(self):
+        cfg = self.config
+        init = nn.initializers.normal
+        self.stages = _ResNetStages(depth=self.depth, dtype=self.dtype,
+                                    name="stages")
+        self.neck = FPNNeck(out_channels=cfg.FPN.OUT_CHANNELS, dtype=self.dtype,
+                            name="neck")
+        self.box_head = _FPNBoxHead(dtype=self.dtype, name="box_head")
+        # shared RPN head across levels
+        self.rpn_net = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
+                               kernel_init=init(0.01), name="rpn_net")
+        self.rpn_cls_score = nn.Conv(self._A * 2, (1, 1), dtype=self.dtype,
+                                     kernel_init=init(0.01), name="rpn_cls_score")
+        self.rpn_bbox_pred = nn.Conv(self._A * 4, (1, 1), dtype=self.dtype,
+                                     kernel_init=init(0.01), name="rpn_bbox_pred")
+        self.cls_score = nn.Dense(self.num_classes, kernel_init=init(0.01),
+                                  name="cls_score")
+        self.bbox_pred = nn.Dense(self.num_classes * 4, kernel_init=init(0.001),
+                                  name="bbox_pred")
+
+    # -- stages ---------------------------------------------------------------
+    def _preprocess(self, images):
+        means = jnp.asarray(self.config.PIXEL_MEANS, jnp.float32)
+        return (images.astype(jnp.float32) - means).astype(self.dtype)
+
+    def _pyramid(self, images):
+        return self.neck(self.stages(self._preprocess(images)))  # P2..P6
+
+    def _rpn_all_levels(self, pyramid):
+        """Shared RPN over P2..P6 → concatenated (B, K, ...) in level order."""
+        cls_list, prob_list, box_list = [], [], []
+        for feat in pyramid:
+            b, h, w, _ = feat.shape
+            x = nn.relu(self.rpn_net(feat))
+            cls = self.rpn_cls_score(x).reshape(b, h * w * self._A, 2)
+            box = self.rpn_bbox_pred(x).reshape(b, h * w * self._A, 4)
+            cls_list.append(cls.astype(jnp.float32))
+            box_list.append(box.astype(jnp.float32))
+        cls = jnp.concatenate(cls_list, axis=1)
+        box = jnp.concatenate(box_list, axis=1)
+        prob = jax.nn.softmax(cls, axis=-1)[..., 1]
+        return cls, prob, box
+
+    def _anchors(self, pyramid):
+        """Per-level anchors concatenated in the same order as the RPN
+        outputs: one size per level (ANCHOR_SCALE * stride), cfg ratios."""
+        cfg = self.config
+        all_anchors = []
+        for level, feat in zip(self._levels, pyramid):
+            stride = 2 ** level
+            a, _ = generate_anchors_pre(
+                feat.shape[1], feat.shape[2], stride,
+                ratios=cfg.ANCHOR_RATIOS, scales=(cfg.FPN.ANCHOR_SCALE,))
+            all_anchors.append(a)
+        return jnp.concatenate(all_anchors, axis=0)
+
+    def _level_split_pre_nms(self, pyramid, train: bool):
+        """Per-level pre-NMS top-k sizes (level boundaries in the concat)."""
+        cfg = self.config
+        per = (cfg.FPN.PRE_NMS_PER_LEVEL_TRAIN if train
+               else cfg.FPN.PRE_NMS_PER_LEVEL_TEST)
+        sizes = [f.shape[1] * f.shape[2] * self._A for f in pyramid]
+        return sizes, per
+
+    def _propose(self, pyramid, fg_prob, deltas, anchors, im_info, train: bool):
+        """Per-level top-k then joint cross-level NMS (Detectron FPN style)."""
+        cfg = self.config
+        sizes, per = self._level_split_pre_nms(pyramid, train)
+        post = (cfg.TRAIN.RPN_POST_NMS_TOP_N if train
+                else cfg.TEST.RPN_POST_NMS_TOP_N)
+        thresh = cfg.TRAIN.RPN_NMS_THRESH if train else cfg.TEST.RPN_NMS_THRESH
+
+        def one_image(scores, dl, info):
+            # per-level top-k on scores, remapped to global anchor indices
+            sel = []
+            off = 0
+            for s in sizes:
+                k = min(per, s)
+                _, idx = jax.lax.top_k(jax.lax.dynamic_slice(scores, (off,), (s,)), k)
+                sel.append(idx + off)
+                off += s
+            sel = jnp.concatenate(sel)
+            pre_n = sel.shape[0]
+            return proposal_layer(
+                scores[sel], dl[sel], anchors[sel], info,
+                pre_nms_top_n=pre_n, post_nms_top_n=post, nms_thresh=thresh,
+                use_pallas=cfg.TPU.USE_PALLAS)
+
+        return jax.vmap(one_image)(fg_prob, deltas, im_info)
+
+    def _assign_levels(self, rois):
+        """k = floor(k0 + log2(sqrt(wh)/canonical)), clamped to [MIN, MAX]."""
+        f = self.config.FPN
+        w = jnp.maximum(rois[..., 2] - rois[..., 0] + 1.0, 1.0)
+        h = jnp.maximum(rois[..., 3] - rois[..., 1] + 1.0, 1.0)
+        k = jnp.floor(f.ROI_CANONICAL_LEVEL
+                      + jnp.log2(jnp.sqrt(w * h) / f.ROI_CANONICAL_SCALE + 1e-8))
+        return jnp.clip(k, f.MIN_LEVEL, f.MAX_LEVEL).astype(jnp.int32)
+
+    def _pool(self, pyramid, rois):
+        """Level-assigned RoIAlign: compute on every RoI level, select by
+        assignment mask.  pyramid: P2..P6 (P6 unused for RoIs)."""
+        cfg = self.config
+        levels = self._assign_levels(rois)  # (B, N)
+        p = cfg.POOLING_SIZE
+        out = None
+        for level, feat in zip(self._levels, pyramid):
+            if level > cfg.FPN.MAX_LEVEL:
+                break
+            pooled = jax.vmap(
+                lambda f, r: roi_align_gather(
+                    f, r, output_size=p, spatial_scale=1.0 / (2 ** level),
+                    sampling_ratio=cfg.TPU.ROI_SAMPLING_RATIO)
+            )(feat, rois)
+            mask = (levels == level)[..., None, None, None]
+            out = pooled * mask if out is None else out + pooled * mask
+        return out  # (B, N, p, p, C)
+
+    def _classify(self, pooled, train: bool):
+        b, n = pooled.shape[:2]
+        flat = pooled.reshape((b * n,) + pooled.shape[2:])
+        fc = self.box_head(flat, train=train)
+        cls_logits = self.cls_score(fc).astype(jnp.float32)
+        bbox = self.bbox_pred(fc).astype(jnp.float32)
+        return (cls_logits.reshape(b, n, -1),
+                jax.nn.softmax(cls_logits, axis=-1).reshape(b, n, -1),
+                bbox.reshape(b, n, -1))
+
+    # -- modes ------------------------------------------------------------------
+    def predict(self, images, im_info):
+        pyramid = self._pyramid(images)
+        _, fg_prob, deltas = self._rpn_all_levels(pyramid)
+        anchors = self._anchors(pyramid)
+        rois, roi_scores, roi_valid = self._propose(
+            pyramid, fg_prob, deltas, anchors, im_info, train=False)
+        pooled = self._pool(pyramid, rois)
+        _, cls_prob, bbox_pred = self._classify(pooled, train=False)
+        return {"rois": rois, "roi_scores": roi_scores, "roi_valid": roi_valid,
+                "cls_prob": cls_prob, "bbox_pred": bbox_pred}
+
+    def decode_detections(self, out, im_info):
+        return decode_boxes(out, im_info, self.config, self.num_classes)
+
+    def detect(self, images, im_info, max_per_image: int | None = None):
+        out = self.predict(images, im_info)
+        return postprocess_detections(out, im_info, self.config,
+                                      self.num_classes,
+                                      max_per_image or self.config.TEST.MAX_PER_IMAGE)
+
+    def train_forward(self, images, im_info, gt_boxes, gt_labels, gt_valid, key):
+        cfg = self.config
+        b = images.shape[0]
+        pyramid = self._pyramid(images)
+        rpn_cls, fg_prob, deltas = self._rpn_all_levels(pyramid)
+        anchors = self._anchors(pyramid)
+
+        rois, _, roi_valid = self._propose(
+            pyramid, jax.lax.stop_gradient(fg_prob),
+            jax.lax.stop_gradient(deltas), anchors, im_info, train=True)
+
+        keys = jax.random.split(key, 2 * b)
+        at = jax.vmap(
+            lambda g, gv, i, k: anchor_target_layer(anchors, g, gv, i, k, cfg)
+        )(gt_boxes, gt_valid, im_info, keys[:b])
+        pt = jax.vmap(
+            lambda r, rv, g, gl, gv, k: proposal_target_layer(
+                r, rv, g, gl, gv, k, cfg, self.num_classes)
+        )(rois, roi_valid, gt_boxes, gt_labels, gt_valid, keys[b:])
+
+        pooled = self._pool(pyramid, pt.rois)
+        cls_logits, cls_prob, bbox_pred = self._classify(pooled, train=True)
+        losses = jax.vmap(detection_losses)(rpn_cls, deltas, at, cls_logits,
+                                            bbox_pred, pt)
+        losses = jax.tree.map(jnp.mean, losses)
+        aux = {"rois": pt.rois, "roi_labels": pt.labels,
+               "n_fg": jnp.sum(pt.labels > 0)}
+        return losses, aux
+
+    def __call__(self, images, im_info):
+        return self.predict(images, im_info)
+
+    def frozen_param(self, path: tuple, cfg=None) -> bool:
+        """Freezing for the optimizer mask: BN always; conv1/bn1 + fixed
+        blocks inside 'stages' (same policy as the C4 resnet)."""
+        s = [str(p) for p in path]
+        if any(p.startswith(("bn", "downsample_bn")) for p in s):
+            return True
+        if s and s[0] == "stages":
+            fixed = cfg.RESNET.FIXED_BLOCKS if cfg is not None else 1
+            if any(p in ("conv1", "bn1") for p in s[1:2]):
+                return True
+            for k in range(1, fixed + 1):
+                if len(s) > 1 and s[1].startswith(f"layer{k}_"):
+                    return True
+        return False
+
+
+def build_fpn_model(net: str, num_classes: int, cfg: Config, dtype=jnp.float32):
+    """net: 'res50_fpn' | 'res101_fpn' | 'res152_fpn'."""
+    depth = int(net.replace("res", "").replace("_fpn", ""))
+    return FasterRCNNFPN(num_classes=num_classes, config=cfg, depth=depth,
+                         dtype=dtype)

@@ -39,6 +39,62 @@ from frcnn_tpu.ops.nms import batched_class_nms
 from frcnn_tpu.ops.roi_align import extract_roi_features
 
 
+def decode_boxes(out, im_info, cfg, num_classes: int):
+    """im_detect delta decode (reference test.py:~L100-L160): un-normalize by
+    BBOX_NORMALIZE_STDS/MEANS, decode per class, clip, rescale to ORIGINAL
+    image coords.  out: predict() dict; returns (B, N, 4C)."""
+    rois, bbox_pred = out["rois"], out["bbox_pred"]
+    c = num_classes
+    if cfg.TEST.BBOX_REG:
+        stds = jnp.tile(jnp.asarray(cfg.TRAIN.BBOX_NORMALIZE_STDS, jnp.float32), c)
+        means = jnp.tile(jnp.asarray(cfg.TRAIN.BBOX_NORMALIZE_MEANS, jnp.float32), c)
+        deltas = bbox_pred * stds + means
+        boxes = jax.vmap(bbox_transform_inv)(rois, deltas)
+        boxes = jax.vmap(clip_boxes)(boxes, im_info[:, :2])
+    else:
+        boxes = jnp.tile(rois, (1, 1, c))
+    return boxes / im_info[:, 2][:, None, None]
+
+
+def postprocess_detections(out, im_info, cfg, num_classes: int,
+                           max_per_image: int):
+    """Fused test-time post-processing (reference test.py per-image loop):
+    per-class score threshold + NMS + global top-k, batched in-graph.
+
+    Returns (detections (B, D, 6) [x1,y1,x2,y2,score,class], valid (B, D))."""
+    d = max_per_image
+    boxes = decode_boxes(out, im_info, cfg, num_classes)       # (B, N, 4C)
+    scores = out["cls_prob"]                                   # (B, N, C)
+    roi_valid = out["roi_valid"]                               # (B, N)
+    b, n, c = scores.shape
+
+    cls_boxes = boxes.reshape(b, n, c, 4).transpose(0, 2, 1, 3)  # (B, C, N, 4)
+    cls_scores = scores.transpose(0, 2, 1)                       # (B, C, N)
+    valid = roi_valid[:, None, :] & (cls_scores > cfg.TEST.SCORE_THRESH)
+    per_cls = min(d, n)
+
+    def one_image(bx, sc, va):
+        idx, keep = batched_class_nms(bx, sc, cfg.TEST.NMS, per_cls, valid=va,
+                                      use_pallas=cfg.TPU.USE_PALLAS)
+        g_boxes = jnp.take_along_axis(bx, idx[..., None], axis=1)
+        g_scores = jnp.take_along_axis(sc, idx, axis=1)
+        g_scores = jnp.where(keep, g_scores, -1.0)
+        cls_ids = jnp.broadcast_to(
+            jnp.arange(c, dtype=jnp.float32)[:, None], g_scores.shape)
+        g_scores = jnp.where(cls_ids > 0, g_scores, -1.0)  # drop background
+        flat_scores = g_scores.reshape(-1)
+        top_scores, top_idx = jax.lax.top_k(flat_scores, d)
+        det_valid = top_scores > 0
+        det = jnp.concatenate(
+            [g_boxes.reshape(-1, 4)[top_idx],
+             top_scores[:, None],
+             cls_ids.reshape(-1)[top_idx][:, None]], axis=1)
+        det = jnp.where(det_valid[:, None], det, 0.0)
+        return det, det_valid
+
+    return jax.vmap(one_image)(cls_boxes, cls_scores, valid)
+
+
 class FasterRCNN(nn.Module):
     backbone: nn.Module
     num_classes: int
@@ -151,24 +207,8 @@ class FasterRCNN(nn.Module):
                 "cls_prob": cls_prob, "bbox_pred": bbox_pred}
 
     def decode_detections(self, out, im_info):
-        """im_detect post-processing (reference test.py:~L100-L160): deltas
-        un-normalized by BBOX_NORMALIZE_STDS/MEANS, decoded per class,
-        clipped to the image, rescaled to ORIGINAL image coords."""
-        cfg = self.config
-        rois, bbox_pred = out["rois"], out["bbox_pred"]
-        b, n, _ = rois.shape
-        c = self.num_classes
-        if cfg.TEST.BBOX_REG:
-            stds = jnp.tile(jnp.asarray(cfg.TRAIN.BBOX_NORMALIZE_STDS, jnp.float32), c)
-            means = jnp.tile(jnp.asarray(cfg.TRAIN.BBOX_NORMALIZE_MEANS, jnp.float32), c)
-            deltas = bbox_pred * stds + means
-            boxes = jax.vmap(bbox_transform_inv)(rois, deltas)      # (B, N, 4C)
-            boxes = jax.vmap(clip_boxes)(boxes, im_info[:, :2])
-        else:
-            boxes = jnp.tile(rois, (1, 1, c))
-        # back to original image coordinates
-        boxes = boxes / im_info[:, 2][:, None, None]
-        return boxes  # (B, N, 4C)
+        """im_detect delta decode (see decode_boxes)."""
+        return decode_boxes(out, im_info, self.config, self.num_classes)
 
     def detect(self, images, im_info, max_per_image: int | None = None):
         """Fused end-to-end serving path: predict + decode + per-class NMS +
@@ -176,41 +216,10 @@ class FasterRCNN(nn.Module):
 
         Returns (detections (B, D, 6) [x1,y1,x2,y2,score,class], valid (B, D)).
         """
-        cfg = self.config
-        d = max_per_image or cfg.TEST.MAX_PER_IMAGE
         out = self.predict(images, im_info)
-        boxes = self.decode_detections(out, im_info)                # (B, N, 4C)
-        scores = out["cls_prob"]                                    # (B, N, C)
-        roi_valid = out["roi_valid"]                                # (B, N)
-        b, n, c = scores.shape
-
-        cls_boxes = boxes.reshape(b, n, c, 4).transpose(0, 2, 1, 3)  # (B, C, N, 4)
-        cls_scores = scores.transpose(0, 2, 1)                       # (B, C, N)
-        valid = roi_valid[:, None, :] & (cls_scores > cfg.TEST.SCORE_THRESH)
-
-        per_cls = min(d, n)
-
-        def one_image(bx, sc, va):
-            idx, keep = batched_class_nms(bx, sc, cfg.TEST.NMS, per_cls, valid=va,
-                                          use_pallas=cfg.TPU.USE_PALLAS)
-            # gather per-class survivors (skip background class 0)
-            g_boxes = jnp.take_along_axis(bx, idx[..., None], axis=1)   # (C, per, 4)
-            g_scores = jnp.take_along_axis(sc, idx, axis=1)             # (C, per)
-            g_scores = jnp.where(keep, g_scores, -1.0)
-            cls_ids = jnp.broadcast_to(
-                jnp.arange(c, dtype=jnp.float32)[:, None], g_scores.shape)
-            g_scores = jnp.where(cls_ids > 0, g_scores, -1.0)           # drop bg
-            flat_scores = g_scores.reshape(-1)
-            top_scores, top_idx = jax.lax.top_k(flat_scores, d)
-            det_valid = top_scores > 0
-            det = jnp.concatenate(
-                [g_boxes.reshape(-1, 4)[top_idx],
-                 top_scores[:, None],
-                 cls_ids.reshape(-1)[top_idx][:, None]], axis=1)
-            det = jnp.where(det_valid[:, None], det, 0.0)
-            return det, det_valid
-
-        return jax.vmap(one_image)(cls_boxes, cls_scores, valid)
+        return postprocess_detections(out, im_info, self.config,
+                                      self.num_classes,
+                                      max_per_image or self.config.TEST.MAX_PER_IMAGE)
 
     def train_forward(self, images, im_info, gt_boxes, gt_labels, gt_valid, key):
         """TRAIN forward (reference forward(TRAIN) + _add_losses).
@@ -259,9 +268,24 @@ class FasterRCNN(nn.Module):
         RPN, classification heads)."""
         return self.predict(images, im_info)
 
+    def frozen_param(self, path: tuple, cfg=None) -> bool:
+        """Optimizer freezing policy over full param paths."""
+        if path and str(path[0]) == "backbone":
+            return self.backbone.frozen_param(tuple(path[1:]),
+                                              cfg or self.config)
+        return False
+
 
 def build_model(net: str, num_classes: int, cfg: Config, dtype=jnp.float32):
-    """Model factory (reference trainval_net.py --net + create_architecture)."""
+    """Model factory (reference trainval_net.py --net + create_architecture).
+
+    net: vgg16 | res50 | res101 | res152 | mobile, or res{50,101,152}_fpn
+    for the FPN variant (capability beyond the reference).
+    """
+    if net.endswith("_fpn"):
+        from frcnn_tpu.models.fpn import build_fpn_model
+
+        return build_fpn_model(net, num_classes, cfg, dtype=dtype)
     from frcnn_tpu.models.backbones import build_backbone
 
     backbone = build_backbone(net, cfg, dtype=dtype)

@@ -203,6 +203,76 @@ def crop_and_resize_pool(feat, rois, output_size: int = 7,
     return crops.reshape(r, p, 2, p, 2, -1).max(axis=(2, 4))
 
 
+def _roi_align_gather_chunk(feat_flat, h, w, rois, output_size, spatial_scale,
+                            sampling_ratio):
+    """Gather-based RoIAlign for a chunk of rois.  feat_flat: (H*W, C).
+
+    4-neighbour gathers instead of interpolation matmuls: per-roi cost is
+    independent of the feature-map size — the right formulation for large
+    FPN levels (P2 at 800px is 200x304; the matmul form scales with H)."""
+    p, sr = output_size, sampling_ratio
+    r = rois.shape[0]
+    dtype = feat_flat.dtype
+
+    x1 = rois[:, 0:1] * spatial_scale
+    y1 = rois[:, 1:2] * spatial_scale
+    x2 = rois[:, 2:3] * spatial_scale
+    y2 = rois[:, 3:4] * spatial_scale
+    bin_w = jnp.maximum(x2 - x1, 1.0) / p
+    bin_h = jnp.maximum(y2 - y1, 1.0) / p
+    s = (jnp.arange(p * sr, dtype=dtype) + 0.5) / sr      # (p*sr,)
+    ys = y1 + s[None, :] * bin_h                           # (R, p*sr)
+    xs = x1 + s[None, :] * bin_w
+
+    def neighbours(coords, size):
+        empty = (coords < -1.0) | (coords > size)
+        c = jnp.clip(coords, 0.0, size - 1.0)
+        low = jnp.floor(c)
+        frac = c - low
+        low_i = low.astype(jnp.int32)
+        high_i = jnp.minimum(low_i + 1, size - 1)
+        return low_i, high_i, frac, empty
+
+    yl, yh, fy, ey = neighbours(ys, h)
+    xl, xh, fx, ex = neighbours(xs, w)
+
+    # (R, p*sr_y, p*sr_x) flat indices for the 4 corners
+    def flat(yi, xi):
+        return (yi[:, :, None] * w + xi[:, None, :]).reshape(-1)
+
+    g = lambda idx: feat_flat[idx].reshape(r, p * sr, p * sr, -1)
+    v = (g(flat(yl, xl)) * ((1 - fy)[:, :, None] * (1 - fx)[:, None, :])[..., None]
+         + g(flat(yl, xh)) * ((1 - fy)[:, :, None] * fx[:, None, :])[..., None]
+         + g(flat(yh, xl)) * (fy[:, :, None] * (1 - fx)[:, None, :])[..., None]
+         + g(flat(yh, xh)) * (fy[:, :, None] * fx[:, None, :])[..., None])
+    valid = (~ey)[:, :, None, None] & (~ex)[:, None, :, None]
+    v = jnp.where(valid, v, 0.0)
+    return v.reshape(r, p, sr, p, sr, -1).mean(axis=(2, 4))
+
+
+@partial(jax.jit, static_argnames=("output_size", "spatial_scale",
+                                   "sampling_ratio", "chunk"))
+def roi_align_gather(feat, rois, output_size: int = 7,
+                     spatial_scale: float = 1.0 / 16.0, sampling_ratio: int = 2,
+                     chunk: int = 64):
+    """Gather-based RoIAlign: feat (H, W, C), rois (R, 4) → (R, p, p, C).
+
+    Same semantics as ``roi_align``; preferred for large feature maps
+    (FPN P2/P3) where the matmul formulation's cost grows with H."""
+    h, w, c = feat.shape
+    feat_flat = feat.reshape(h * w, c)
+    r = rois.shape[0]
+    chunk = _pick_chunk(r, chunk)
+    fn = partial(_roi_align_gather_chunk, feat_flat, h, w,
+                 output_size=output_size, spatial_scale=spatial_scale,
+                 sampling_ratio=sampling_ratio)
+    if r > chunk:
+        batched = rois.reshape(r // chunk, chunk, 4)
+        out = jax.lax.map(fn, batched)
+        return out.reshape((r,) + out.shape[2:])
+    return fn(rois)
+
+
 def extract_roi_features(feat, rois, mode: str = "align", output_size: int = 7,
                          spatial_scale: float = 1.0 / 16.0, sampling_ratio: int = 2,
                          use_pallas: bool = True):
