@@ -148,6 +148,10 @@ class TPUConfig:
     USE_PALLAS: bool = True                 # Pallas kernels on TPU, jnp ref elsewhere
     MESH_AXIS: str = "data"                 # 1-D data-parallel mesh axis name
     REMAT: bool = False                     # jax.checkpoint the backbone
+    PROFILE_DIR: str = ""                   # jax.profiler trace dir ("" = off)
+    PROFILE_START: int = 10                 # profile steps [START, START+STEPS)
+    PROFILE_STEPS: int = 5
+    DEBUG_NANS: bool = False                # jax_debug_nans mode (slow)
 
 
 @dataclass(frozen=True)

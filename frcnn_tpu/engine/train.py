@@ -222,6 +222,16 @@ class SolverWrapper:
             return new_state, losses
 
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        def eval_step(state, data, im_info, gt_boxes, gt_labels, gt_valid, key):
+            dkey, skey = jax.random.split(key)
+            losses, _ = model.apply(
+                {"params": state["params"]}, data, im_info, gt_boxes,
+                gt_labels, gt_valid, skey, method="train_forward",
+                rngs={"dropout": dkey})
+            return state, losses
+
+        self._eval_step = jax.jit(eval_step)
         self.base_key = jax.random.PRNGKey(cfg.RNG_SEED + 1)
         return self.state
 
@@ -296,6 +306,8 @@ class SolverWrapper:
     # -- loop -----------------------------------------------------------------
     def train_model(self, max_iters: int):
         cfg = self.cfg
+        if cfg.TPU.DEBUG_NANS:
+            jax.config.update("jax_debug_nans", True)
         self.data_layer = RoIDataLayer(self.roidb, cfg)
         self.data_layer_val = (
             RoIDataLayer(self.valroidb, cfg, random=True)
@@ -307,10 +319,26 @@ class SolverWrapper:
 
         log_path = osp.join(self.output_dir, "train_log.jsonl")
         log_f = open(log_path, "a")
+        writer = None
+        if self.tb_dir:
+            from frcnn_tpu.utils.summary import SummaryWriter
+
+            writer = SummaryWriter(self.tb_dir)
         timer = Timer()
         last_summary = time.time()
+        profiling = False
         step = start
         while step < max_iters:
+            # profiler window (SURVEY.md §5.1: jax.profiler + Perfetto trace)
+            if cfg.TPU.PROFILE_DIR and step == cfg.TPU.PROFILE_START:
+                jax.profiler.start_trace(cfg.TPU.PROFILE_DIR)
+                profiling = True
+            if profiling and step == cfg.TPU.PROFILE_START + cfg.TPU.PROFILE_STEPS:
+                jax.block_until_ready(self.state)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"wrote profiler trace to {cfg.TPU.PROFILE_DIR}")
+
             timer.tic()
             blobs = self.data_layer.forward()
             if self.mesh is not None:
@@ -336,15 +364,38 @@ class SolverWrapper:
                 print(f"speed: {timer.average_time:.3f}s / iter")
                 log_f.write(json.dumps({"iter": step, "lr": lr, **losses}) + "\n")
                 log_f.flush()
+                if writer is not None:
+                    writer.scalars({**losses, "lr": lr,
+                                    "speed_s_per_iter": timer.average_time}, step)
             else:
                 timer.toc()
             if step % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                 self.snapshot(step)
             if (self.data_layer_val is not None
                     and time.time() - last_summary > cfg.TRAIN.SUMMARY_INTERVAL):
+                # validation summary (reference train_step_with_summary)
+                vblobs = self.data_layer_val.forward()
+                if self.mesh is not None:
+                    from frcnn_tpu.parallel.mesh import shard_batch
+
+                    vblobs = shard_batch(vblobs, self.mesh)
+                _, vloss = self._eval_step(
+                    self.state, vblobs["data"], vblobs["im_info"],
+                    vblobs["gt_boxes"], vblobs["gt_labels"], vblobs["gt_valid"],
+                    jax.random.fold_in(self.base_key, 10**9 + step))
+                vloss = jax.tree.map(float, vloss)
+                if writer is not None:
+                    writer.scalars({f"val/{k}": v for k, v in vloss.items()}, step)
+                log_f.write(json.dumps(
+                    {"iter": step, **{f"val_{k}": v for k, v in vloss.items()}})
+                    + "\n")
                 last_summary = time.time()
-        if step % cfg.TRAIN.SNAPSHOT_ITERS != 0:
+        if profiling:
+            jax.profiler.stop_trace()
+        if step > start and step % cfg.TRAIN.SNAPSHOT_ITERS != 0:
             self.snapshot(step)
+        if writer is not None:
+            writer.close()
         log_f.close()
         return self.state
 

@@ -1,0 +1,132 @@
+"""Data-parallel paths on the 8-virtual-device CPU mesh (SURVEY.md §4:
+multi-chip behavior without hardware)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frcnn_tpu.config import default_config
+from frcnn_tpu.models import build_model
+from frcnn_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+
+def small_cfg():
+    cfg = default_config()
+    return dataclasses.replace(
+        cfg,
+        TEST=dataclasses.replace(cfg.TEST, RPN_PRE_NMS_TOP_N=128,
+                                 RPN_POST_NMS_TOP_N=16, MAX_PER_IMAGE=5,
+                                 SCORE_THRESH=0.01),
+        TRAIN=dataclasses.replace(cfg.TRAIN, RPN_PRE_NMS_TOP_N=128,
+                                  RPN_POST_NMS_TOP_N=32, BATCH_SIZE=16,
+                                  RPN_BATCHSIZE=32),
+        TPU=dataclasses.replace(cfg.TPU, BUCKETS=((128, 128),), MAX_GT=4),
+        ANCHOR_SCALES=(2.0, 4.0),
+    )
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(8)
+
+
+def test_mesh_shapes(mesh8):
+    assert mesh8.devices.size == 8
+    assert mesh8.axis_names == ("data",)
+
+
+def test_data_parallel_detect_matches_single(mesh8):
+    """Sharded batched detect == unsharded detect (bitwise-ish)."""
+    cfg = small_cfg()
+    model = build_model("mobile", 21, cfg)
+    b = 8
+    images = jax.random.uniform(jax.random.PRNGKey(0), (b, 128, 128, 3)) * 255
+    im_info = jnp.tile(jnp.asarray([[128.0, 128.0, 1.0]]), (b, 1))
+    variables = model.init(jax.random.PRNGKey(1), images[:1], im_info[:1])
+
+    det_fn = jax.jit(lambda v, im, ii: model.apply(v, im, ii, method="detect"))
+    d_single, v_single = det_fn(variables, images, im_info)
+
+    vars_r = replicate(variables, mesh8)
+    im_s, ii_s = shard_batch((images, im_info), mesh8)
+    d_shard, v_shard = det_fn(vars_r, im_s, ii_s)
+    np.testing.assert_allclose(np.asarray(d_single), np.asarray(d_shard),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(v_single), np.asarray(v_shard))
+
+
+def test_data_parallel_train_step_grad_allreduce(mesh8):
+    """Sharded train step: grads reduce over the batch — updated params stay
+    replicated and match the unsharded step on the same global batch."""
+    import optax
+
+    from frcnn_tpu.engine.train import make_optimizer
+
+    cfg = small_cfg()
+    model = build_model("mobile", 21, cfg)
+    b = 8
+    key = jax.random.PRNGKey(2)
+    images = jax.random.uniform(key, (b, 128, 128, 3)) * 255
+    im_info = jnp.tile(jnp.asarray([[128.0, 128.0, 1.0]]), (b, 1))
+    gt = jnp.tile(jnp.asarray([[[8.0, 8.0, 96.0, 100.0], [0.0] * 4,
+                                [0.0] * 4, [0.0] * 4]]), (b, 1, 1))
+    gl = jnp.tile(jnp.asarray([[3, 0, 0, 0]], jnp.int32), (b, 1))
+    gv = jnp.tile(jnp.asarray([[True, False, False, False]]), (b, 1))
+
+    variables = model.init(jax.random.PRNGKey(3), images[:1], im_info[:1])
+    params = variables["params"]
+    tx, _ = make_optimizer(model, params, cfg)
+
+    def train_step(state, data, ii, g, l, v, k):
+        def loss_fn(p):
+            losses, _ = model.apply({"params": p}, data, ii, g, l, v, k,
+                                    method="train_forward",
+                                    rngs={"dropout": jax.random.PRNGKey(9)})
+            return losses["total_loss"]
+
+        grads = jax.grad(loss_fn)(state["params"])
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        return {"params": optax.apply_updates(state["params"], updates),
+                "opt_state": opt_state}
+
+    step = jax.jit(train_step)
+    skey = jax.random.PRNGKey(4)
+    state0 = {"params": params, "opt_state": tx.init(params)}
+    ref = step(state0, images, im_info, gt, gl, gv, skey)
+
+    state_r = replicate({"params": params, "opt_state": tx.init(params)}, mesh8)
+    batch = shard_batch((images, im_info, gt, gl, gv), mesh8)
+    out = step(state_r, *batch, skey)
+    leaf = jax.tree.leaves(out["params"])[0]
+    assert leaf.sharding.is_fully_replicated
+    for a, b_ in zip(jax.tree.leaves(ref["params"]),
+                     jax.tree.leaves(out["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_serving_detector(mesh8):
+    """engine.serve.Detector over the mesh: list-of-images API + throughput
+    helper (BASELINE config 5 shape, scaled down)."""
+    from frcnn_tpu.engine.serve import Detector, throughput
+
+    cfg = small_cfg()
+    model = build_model("mobile", 21, cfg)
+    images = jnp.zeros((1, 128, 128, 3))
+    im_info = jnp.asarray([[128.0, 128.0, 1.0]])
+    variables = model.init(jax.random.PRNGKey(0), images, im_info)
+    det = Detector(model, variables, cfg, mesh=mesh8)
+    rng = np.random.RandomState(0)
+    ims = [rng.randint(0, 255, (100 + 10 * i, 120, 3), np.uint8)
+           for i in range(5)]  # 5 images: pads to 8 for the mesh
+    results = det(ims)
+    assert len(results) == 5
+    for r in results:
+        assert r.ndim == 2 and r.shape[1] == 6
+    ips = throughput(det, batch=8, iters=2, warmup=1)
+    assert ips > 0
