@@ -224,17 +224,20 @@ def _coerce(old: Any, new: Any, key: str) -> Any:
     if isinstance(old, str):
         return str(new)
     if isinstance(old, tuple):
-        if isinstance(new, (list, tuple)):
-            seq = list(new)
-        elif isinstance(new, str):
-            seq = [s for s in new.replace("[", "").replace("]", "")
-                   .replace("(", "").replace(")", "").split(",") if s.strip()]
-        else:
+        if isinstance(new, str):
+            import ast
+
+            try:
+                new = ast.literal_eval(new)
+            except (ValueError, SyntaxError):
+                raise ValueError(f"cannot parse {new!r} as a sequence for key {key}")
+        if not isinstance(new, (list, tuple)):
             raise ValueError(f"cannot coerce {new!r} to tuple for key {key}")
+        seq = list(new)
         if old and isinstance(old[0], tuple):  # tuple-of-tuples (e.g. BUCKETS)
             return tuple(tuple(int(v) for v in item) for item in seq)
         elem = type(old[0]) if old else float
-        return tuple(elem(_parse_scalar(v) if isinstance(v, str) else v) for v in seq)
+        return tuple(elem(v) for v in seq)
     raise ValueError(f"unsupported config field type {type(old)} for key {key}")
 
 

@@ -22,26 +22,15 @@ def load_state(ckpt_path: str, abstract_state):
 
 
 def load_params(ckpt_path: str, model, cfg):
-    """Restore just the params tree from a snapshot .ckpt directory."""
-    bh, bw = min(cfg.TPU.BUCKETS, key=lambda b: b[0] * b[1])
-    images = jnp.zeros((1, bh, bw, 3), jnp.float32)
-    im_info = jnp.asarray([[bh, bw, 1.0]], jnp.float32)
-    variables = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), images, im_info))
-    abstract_params = jax.tree.map(
-        lambda s: np.zeros(s.shape, s.dtype), variables["params"])
-
+    """Restore just the params tree from a snapshot .ckpt directory (full
+    SolverWrapper state or a params-only export)."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    path = osp.abspath(ckpt_path)
-    try:
-        state = ckptr.restore(path, {"params": abstract_params,
-                                     "opt_state": None, "step": None})
+    state = ckptr.restore(osp.abspath(ckpt_path))  # full tree, as saved
+    if isinstance(state, dict) and "params" in state:
         return state["params"]
-    except Exception:
-        # params-only checkpoint (e.g. exported weights)
-        return ckptr.restore(path, abstract_params)
+    return state
 
 
 def save_params(ckpt_path: str, params):

@@ -13,13 +13,18 @@ here no kernel is warranted, per SURVEY.md §2.4/#21).
 
 from __future__ import annotations
 
+import math
+
 import jax.numpy as jnp
 
 # exp clamp matching the lineage's guard against overflow in decode
 # (bbox_transform_inv clips dw, dh to log(1000/16) in detectron-family code;
 # the reference lineage relies on fp32 exp with no clamp, but training with a
 # clamp is strictly safer and identical in-range — documented deviation).
-BBOX_XFORM_CLIP = float(jnp.log(1000.0 / 16.0))
+# NOTE: host math, not jnp — a module-level jnp op would initialize the
+# device backend at import time (observed: dataset-only tools blocking on
+# the TPU tunnel just to import box utilities).
+BBOX_XFORM_CLIP = math.log(1000.0 / 16.0)
 
 
 def bbox_transform(ex_rois, gt_rois, eps: float = 1e-14):
