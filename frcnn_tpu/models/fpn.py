@@ -193,23 +193,41 @@ class FasterRCNNFPN(nn.Module):
                 else cfg.TEST.RPN_POST_NMS_TOP_N)
         thresh = cfg.TRAIN.RPN_NMS_THRESH if train else cfg.TEST.RPN_NMS_THRESH
 
-        def one_image(scores, dl, info):
-            # per-level top-k on scores, remapped to global anchor indices
-            sel = []
-            off = 0
-            for s in sizes:
-                k = min(per, s)
-                _, idx = jax.lax.top_k(jax.lax.dynamic_slice(scores, (off,), (s,)), k)
-                sel.append(idx + off)
-                off += s
-            sel = jnp.concatenate(sel)
-            pre_n = sel.shape[0]
-            return proposal_layer(
-                scores[sel], dl[sel], anchors[sel], info,
-                pre_nms_top_n=pre_n, post_nms_top_n=post, nms_thresh=thresh,
-                use_pallas=cfg.TPU.USE_PALLAS)
+        # per-level top-k (batched over images), remapped to global indices
+        sel = []
+        off = 0
+        for s in sizes:
+            k = min(per, s)
+            _, idx = jax.lax.top_k(
+                jax.lax.dynamic_slice_in_dim(fg_prob, off, s, axis=1), k)
+            sel.append(idx + off)
+            off += s
+        sel = jnp.concatenate(sel, axis=1)                      # (B, pre_n)
+        sel_scores = jnp.take_along_axis(fg_prob, sel, axis=1)
+        sel_deltas = jnp.take_along_axis(deltas, sel[..., None], axis=1)
+        sel_anchors = anchors[sel]                              # (B, pre_n, 4)
 
-        return jax.vmap(one_image)(fg_prob, deltas, im_info)
+        # joint cross-level NMS, one batched launch; per-image anchors differ
+        # so decode/validity run on gathered arrays directly
+        from frcnn_tpu.models.proposals import _anchor_validity
+        from frcnn_tpu.ops.boxes import bbox_transform_inv, clip_boxes
+        from frcnn_tpu.ops.nms import nms_fixed_batched, NEG_INF
+
+        proposals = bbox_transform_inv(sel_anchors, sel_deltas)
+        proposals = clip_boxes(proposals, im_info[:, :2])
+        av = jax.vmap(_anchor_validity)(sel_anchors, im_info)
+        scores = jnp.where(av, sel_scores, NEG_INF)
+        top_scores, top_idx = jax.lax.top_k(scores, scores.shape[1])
+        top_boxes = jnp.take_along_axis(proposals, top_idx[..., None], axis=1)
+        top_valid = top_scores > NEG_INF / 2
+        keep_idx, keep_valid = nms_fixed_batched(
+            top_boxes, top_scores, thresh, post, valid=top_valid,
+            use_pallas=cfg.TPU.USE_PALLAS)
+        rois = jnp.take_along_axis(top_boxes, keep_idx[..., None], axis=1)
+        roi_scores = jnp.where(
+            keep_valid, jnp.take_along_axis(top_scores, keep_idx, axis=1), 0.0)
+        rois = jnp.where(keep_valid[..., None], rois, 0.0)
+        return rois, roi_scores, keep_valid
 
     def _assign_levels(self, rois):
         """k = floor(k0 + log2(sqrt(wh)/canonical)), clamped to [MIN, MAX]."""

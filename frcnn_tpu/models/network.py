@@ -31,7 +31,9 @@ from flax import linen as nn
 
 from frcnn_tpu.config import Config
 from frcnn_tpu.models.losses import detection_losses
-from frcnn_tpu.models.proposals import proposal_layer, proposal_top_layer
+from frcnn_tpu.models.proposals import (proposal_layer,  # noqa: F401
+                                         proposal_layer_batch,
+                                         proposal_top_layer)
 from frcnn_tpu.models.targets import anchor_target_layer, proposal_target_layer
 from frcnn_tpu.ops.anchors import generate_anchors_pre
 from frcnn_tpu.ops.boxes import bbox_transform_inv, clip_boxes
@@ -73,26 +75,29 @@ def postprocess_detections(out, im_info, cfg, num_classes: int,
     valid = roi_valid[:, None, :] & (cls_scores > cfg.TEST.SCORE_THRESH)
     per_cls = min(d, n)
 
-    def one_image(bx, sc, va):
-        idx, keep = batched_class_nms(bx, sc, cfg.TEST.NMS, per_cls, valid=va,
-                                      use_pallas=cfg.TPU.USE_PALLAS)
-        g_boxes = jnp.take_along_axis(bx, idx[..., None], axis=1)
-        g_scores = jnp.take_along_axis(sc, idx, axis=1)
-        g_scores = jnp.where(keep, g_scores, -1.0)
-        cls_ids = jnp.broadcast_to(
-            jnp.arange(c, dtype=jnp.float32)[:, None], g_scores.shape)
-        g_scores = jnp.where(cls_ids > 0, g_scores, -1.0)  # drop background
-        flat_scores = g_scores.reshape(-1)
-        top_scores, top_idx = jax.lax.top_k(flat_scores, d)
-        det_valid = top_scores > 0
-        det = jnp.concatenate(
-            [g_boxes.reshape(-1, 4)[top_idx],
-             top_scores[:, None],
-             cls_ids.reshape(-1)[top_idx][:, None]], axis=1)
-        det = jnp.where(det_valid[:, None], det, 0.0)
-        return det, det_valid
-
-    return jax.vmap(one_image)(cls_boxes, cls_scores, valid)
+    # all B*C per-class NMS problems in one batched call (one Pallas launch)
+    idx, keep = batched_class_nms(
+        cls_boxes.reshape(b * c, n, 4), cls_scores.reshape(b * c, n),
+        cfg.TEST.NMS, per_cls, valid=valid.reshape(b * c, n),
+        use_pallas=cfg.TPU.USE_PALLAS)
+    g_boxes = jnp.take_along_axis(
+        cls_boxes.reshape(b * c, n, 4), idx[..., None], axis=1)  # (BC, per, 4)
+    g_scores = jnp.take_along_axis(cls_scores.reshape(b * c, n), idx, axis=1)
+    g_scores = jnp.where(keep, g_scores, -1.0).reshape(b, c, per_cls)
+    cls_ids = jnp.broadcast_to(
+        jnp.arange(c, dtype=jnp.float32)[None, :, None], g_scores.shape)
+    g_scores = jnp.where(cls_ids > 0, g_scores, -1.0)  # drop background
+    flat_scores = g_scores.reshape(b, c * per_cls)
+    top_scores, top_idx = jax.lax.top_k(flat_scores, d)           # (B, D)
+    det_valid = top_scores > 0
+    g_boxes = g_boxes.reshape(b, c * per_cls, 4)
+    det = jnp.concatenate(
+        [jnp.take_along_axis(g_boxes, top_idx[..., None], axis=1),
+         top_scores[..., None],
+         jnp.take_along_axis(cls_ids.reshape(b, -1), top_idx, axis=1)[..., None]],
+        axis=2)
+    det = jnp.where(det_valid[..., None], det, 0.0)
+    return det, det_valid
 
 
 class FasterRCNN(nn.Module):
@@ -192,14 +197,12 @@ class FasterRCNN(nn.Module):
                     s, d, anchors, i, rpn_top_n=cfg.TEST.RPN_TOP_N)
             )(fg_prob, deltas, im_info)
         else:
-            rois, roi_scores, roi_valid = jax.vmap(
-                lambda s, d, i: proposal_layer(
-                    s, d, anchors, i,
-                    pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
-                    post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
-                    nms_thresh=cfg.TEST.RPN_NMS_THRESH,
-                    use_pallas=cfg.TPU.USE_PALLAS)
-            )(fg_prob, deltas, im_info)
+            rois, roi_scores, roi_valid = proposal_layer_batch(
+                fg_prob, deltas, anchors, im_info,
+                pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
+                post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
+                nms_thresh=cfg.TEST.RPN_NMS_THRESH,
+                use_pallas=cfg.TPU.USE_PALLAS)
 
         pooled = self._pool(feat, rois)
         _, cls_prob, bbox_pred = self._classify(pooled, train=False)
@@ -235,14 +238,13 @@ class FasterRCNN(nn.Module):
         rpn_cls, fg_prob, deltas = self._rpn(feat)
         anchors = self._anchors(feat.shape)
 
-        rois, roi_scores, roi_valid = jax.vmap(
-            lambda s, d, i: proposal_layer(
-                s, d, anchors, i,
-                pre_nms_top_n=cfg.TRAIN.RPN_PRE_NMS_TOP_N,
-                post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
-                nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
-                use_pallas=cfg.TPU.USE_PALLAS)
-        )(jax.lax.stop_gradient(fg_prob), jax.lax.stop_gradient(deltas), im_info)
+        rois, roi_scores, roi_valid = proposal_layer_batch(
+            jax.lax.stop_gradient(fg_prob), jax.lax.stop_gradient(deltas),
+            anchors, im_info,
+            pre_nms_top_n=cfg.TRAIN.RPN_PRE_NMS_TOP_N,
+            post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
+            nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
+            use_pallas=cfg.TPU.USE_PALLAS)
 
         keys = jax.random.split(key, 2 * b)
         at = jax.vmap(

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from frcnn_tpu.ops.boxes import bbox_transform_inv, clip_boxes
-from frcnn_tpu.ops.nms import nms_fixed, NEG_INF
+from frcnn_tpu.ops.nms import nms_fixed, nms_fixed_batched, NEG_INF
 
 
 def _anchor_validity(anchors, im_info):
@@ -52,6 +52,37 @@ def proposal_layer(scores, deltas, anchors, im_info, *, pre_nms_top_n: int,
     roi_scores = jnp.where(keep_valid, top_scores[keep_idx], 0.0)
     # neutralize padding rois: degenerate zero box (gathered features unused)
     rois = jnp.where(keep_valid[:, None], rois, 0.0)
+    return rois, roi_scores, keep_valid
+
+
+def proposal_layer_batch(scores, deltas, anchors, im_info, *, pre_nms_top_n: int,
+                         post_nms_top_n: int, nms_thresh: float,
+                         use_pallas: bool = True):
+    """Batched proposal path: scores (B, K), deltas (B, K, 4), anchors (K, 4),
+    im_info (B, 3) → (rois (B, P, 4), scores (B, P), valid (B, P)).
+
+    Same semantics as vmapped ``proposal_layer``, but all images' NMS runs in
+    ONE Pallas launch (see ops.nms.nms_fixed_batched).
+    """
+    b, k = scores.shape
+    proposals = bbox_transform_inv(anchors, deltas)        # (B, K, 4)
+    proposals = clip_boxes(proposals, im_info[:, :2])
+
+    av = jax.vmap(lambda i: _anchor_validity(anchors, i))(im_info)  # (B, K)
+    scores = jnp.where(av, scores, NEG_INF)
+    pre_n = min(pre_nms_top_n, k)
+    top_scores, top_idx = jax.lax.top_k(scores, pre_n)     # (B, pre_n)
+    top_boxes = jnp.take_along_axis(proposals, top_idx[..., None], axis=1)
+    top_valid = top_scores > NEG_INF / 2
+
+    keep_idx, keep_valid = nms_fixed_batched(
+        top_boxes, top_scores, nms_thresh, post_nms_top_n, valid=top_valid,
+        use_pallas=use_pallas)                             # (B, P)
+    rois = jnp.take_along_axis(top_boxes, keep_idx[..., None], axis=1)
+    roi_scores = jnp.where(keep_valid,
+                           jnp.take_along_axis(top_scores, keep_idx, axis=1),
+                           0.0)
+    rois = jnp.where(keep_valid[..., None], rois, 0.0)
     return rois, roi_scores, keep_valid
 
 

@@ -146,6 +146,38 @@ def nms_fixed(boxes, scores, thresh, max_out: int, valid=None, use_pallas: bool 
     return out_idx, out_valid
 
 
+def nms_fixed_batched(boxes, scores, thresh, max_out: int, valid=None,
+                      use_pallas: bool = True):
+    """Batched ``nms_fixed``: boxes (B, N, 4), scores (B, N), valid (B, N)
+    → (indices (B, max_out) int32, keep_valid (B, max_out)).
+
+    On TPU all B problems run in ONE Pallas launch (the batched kernel uses
+    the sublanes the single-problem walk leaves idle); elsewhere the blocked
+    jnp reference is vmapped.
+    """
+    b, n = scores.shape
+    if valid is None:
+        valid = jnp.ones((b, n), dtype=bool)
+    s = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-s, axis=1)                       # (B, N)
+    sboxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    svalid = jnp.take_along_axis(valid, order, axis=1)
+
+    if use_pallas and n >= 128 and jax.default_backend() == "tpu":
+        from frcnn_tpu.ops.pallas.nms_kernel import nms_mask_pallas_batched
+
+        keep = nms_mask_pallas_batched(sboxes, thresh, svalid)
+    else:
+        keep = jax.vmap(lambda bx, v: nms_mask(bx, thresh, v))(sboxes, svalid)
+
+    rank = jnp.where(keep, jnp.arange(n)[None, :], n)
+    take = jnp.argsort(rank, axis=1)[:, :max_out]
+    out_valid = jnp.take_along_axis(keep, take, axis=1)
+    gathered = jnp.take_along_axis(order, take, axis=1)
+    out_idx = jnp.where(out_valid, gathered, order[:, :1]).astype(jnp.int32)
+    return out_idx, out_valid
+
+
 def batched_class_nms(boxes, scores, thresh, max_out: int, valid=None,
                       use_pallas: bool = True):
     """Per-class NMS for test time (reference test.py apply per class j).
@@ -153,7 +185,5 @@ def batched_class_nms(boxes, scores, thresh, max_out: int, valid=None,
     boxes: (C, N, 4) class-specific boxes; scores: (C, N); valid: (C, N).
     Returns (indices (C, max_out), keep (C, max_out)).
     """
-    fn = partial(nms_fixed, thresh=thresh, max_out=max_out, use_pallas=use_pallas)
-    if valid is None:
-        valid = jnp.ones(scores.shape, dtype=bool)
-    return jax.vmap(lambda b, s, v: fn(b, s, valid=v))(boxes, scores, valid)
+    return nms_fixed_batched(boxes, scores, thresh, max_out, valid=valid,
+                             use_pallas=use_pallas)

@@ -146,3 +146,123 @@ def nms_mask_pallas(boxes, thresh, valid=None, interpret: bool = False):
     else:
         keep = _nms_pallas_padded(coords, valid_row, float(thresh))
     return (keep > 0)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Batched variant: many independent NMS problems in ONE kernel launch.
+#
+# The serial depth of greedy NMS is fixed (one pass over score-ordered
+# boxes), but it is the same walk for every image/class — so the per-step
+# vector work batches for free across a B dimension (the unbatched kernel
+# uses a (1, T) lane row; (BB, T) uses the idle sublanes).  One launch
+# replaces B sequential ones: the detect pipeline runs per-class NMS for
+# batch*classes problems at once.
+# ---------------------------------------------------------------------------
+
+B_BLOCK = 8
+
+
+def _nms_kernel_b(coords_ref, valid_ref, keep_ref, sup_ref, *, thresh, n):
+    ti = pl.program_id(1)
+
+    @pl.when(ti == 0)
+    def _():
+        sup_ref[:, :] = 1 - valid_ref[:, :]
+
+    start = pl.multiple_of(ti * TILE, TILE)
+    bb = B_BLOCK
+    # tile coordinates (BB, T) — block layout is (BB, 4, N)
+    xt1 = coords_ref[:, 0, pl.ds(start, TILE)]
+    yt1 = coords_ref[:, 1, pl.ds(start, TILE)]
+    xt2 = coords_ref[:, 2, pl.ds(start, TILE)]
+    yt2 = coords_ref[:, 3, pl.ds(start, TILE)]
+
+    def col(v):  # (BB, T) → (BB, T, 1)
+        return v.reshape(bb, TILE, 1)
+
+    def row(v):  # (BB, T) → (BB, 1, T)
+        return v.reshape(bb, 1, TILE)
+
+    masked = _iou_mask(col(xt1), col(yt1), col(xt2), col(yt2),
+                       row(xt1), row(yt1), row(xt2), row(yt2), thresh)
+    row_idx = jax.lax.broadcasted_iota(jnp.int32, (bb, TILE, TILE), 1)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (bb, TILE), 1)
+
+    sup_t = sup_ref[:, pl.ds(start, TILE)]  # (BB, T) i32
+
+    def intra(i, sup_t):
+        alive = jnp.max(jnp.where(t_idx == i, sup_t, 0), axis=1,
+                        keepdims=True) == 0                      # (BB, 1)
+        rowi = jnp.any(masked & (row_idx == i), axis=1)          # (BB, T)
+        new = (alive & rowi & (t_idx > i)).astype(jnp.int32)
+        return jnp.maximum(sup_t, new)
+
+    sup_t = jax.lax.fori_loop(0, TILE, intra, sup_t)
+    kept = 1 - sup_t
+    sup_ref[:, pl.ds(start, TILE)] = sup_t
+    keep_ref[:, :] = kept
+
+    kept_col = kept.reshape(bb, TILE, 1) > 0
+    g_row = start + t_idx.reshape(bb, TILE, 1)
+
+    def chunk_body(jb, _):
+        cs = pl.multiple_of(jb * CHUNK, CHUNK)
+        xc1 = coords_ref[:, 0, pl.ds(cs, CHUNK)].reshape(bb, 1, CHUNK)
+        yc1 = coords_ref[:, 1, pl.ds(cs, CHUNK)].reshape(bb, 1, CHUNK)
+        xc2 = coords_ref[:, 2, pl.ds(cs, CHUNK)].reshape(bb, 1, CHUNK)
+        yc2 = coords_ref[:, 3, pl.ds(cs, CHUNK)].reshape(bb, 1, CHUNK)
+        iou = _iou_mask(col(xt1), col(yt1), col(xt2), col(yt2),
+                        xc1, yc1, xc2, yc2, thresh)
+        g_col = cs + jax.lax.broadcasted_iota(jnp.int32, (bb, 1, CHUNK), 2)
+        new_sup = jnp.any(kept_col & iou & (g_col > g_row), axis=1)  # (BB, C)
+        cur = sup_ref[:, pl.ds(cs, CHUNK)]
+        sup_ref[:, pl.ds(cs, CHUNK)] = jnp.maximum(cur, new_sup.astype(jnp.int32))
+        return 0
+
+    jax.lax.fori_loop(start // CHUNK, n // CHUNK, chunk_body, 0)
+
+
+@partial(jax.jit, static_argnames=("thresh",))
+def _nms_pallas_batched_padded(coords, valid, thresh: float):
+    """coords (B, 4, N), valid (B, N) i32; B % B_BLOCK == 0, N % CHUNK == 0."""
+    b, _, n = coords.shape
+    kernel = partial(_nms_kernel_b, thresh=float(thresh), n=n)
+    keep = pl.pallas_call(
+        kernel,
+        grid=(b // B_BLOCK, n // TILE),
+        in_specs=[
+            pl.BlockSpec((B_BLOCK, 4, n), lambda bb, ti: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLOCK, n), lambda bb, ti: (bb, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B_BLOCK, TILE), lambda bb, ti: (bb, ti),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B_BLOCK, n), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(coords, valid)
+    return keep
+
+
+def nms_mask_pallas_batched(boxes, thresh, valid=None, interpret: bool = False):
+    """Batched greedy NMS: boxes (B, N, 4) score-DESC sorted per row,
+    valid (B, N) → keep (B, N) bool.  One kernel launch for all B problems.
+    """
+    b, n = boxes.shape[:2]
+    if valid is None:
+        valid = jnp.ones((b, n), dtype=bool)
+    pad_n = (-n) % CHUNK
+    pad_b = (-b) % B_BLOCK
+    if pad_n or pad_b:
+        boxes = jnp.pad(boxes, ((0, pad_b), (0, pad_n), (0, 0)))
+        valid = jnp.pad(valid, ((0, pad_b), (0, pad_n)))
+    coords = boxes.transpose(0, 2, 1).astype(jnp.float32)  # (B, 4, N)
+    valid_i = valid.astype(jnp.int32)
+    if interpret:
+        with pltpu.force_tpu_interpret_mode():
+            keep = _nms_pallas_batched_padded(coords, valid_i, float(thresh))
+    else:
+        keep = _nms_pallas_batched_padded(coords, valid_i, float(thresh))
+    return (keep > 0)[:b, :n]
