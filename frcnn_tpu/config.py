@@ -144,6 +144,11 @@ class TPUConfig:
     MAX_GT: int = 64                        # padded gt boxes per image
     NUM_DETECTIONS: int = 100               # padded final detections per image
     DTYPE: str = "bfloat16"                 # compute dtype for conv trunk
+    # input scale applied after PIXEL_MEANS subtraction.  1.0 = reference
+    # parity (raw Caffe-scale pixels; correct for pretrained backbones).
+    # From-scratch training needs normalized inputs (e.g. 1/128) — raw-scale
+    # pixels through random weights saturate/zero relu6 trunks.
+    PIXEL_SCALE: float = 1.0
     ROI_SAMPLING_RATIO: int = 2             # RoIAlign samples per bin side
     USE_PALLAS: bool = True                 # Pallas kernels on TPU, jnp ref elsewhere
     MESH_AXIS: str = "data"                 # 1-D data-parallel mesh axis name

@@ -37,6 +37,11 @@ from flax import linen as nn
 # from-scratch training; pretrained weights arrive via utils/weight_convert.
 conv_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 dense_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+# Depthwise kernels are (kh, kw, 1, C): fan_out-scaling sees a bogus huge fan
+# and produces ~50x-too-small weights (activations vanish ~10x per separable
+# layer — trunk output was exactly zero by layer 4).  fan_in = kh*kw*1 is the
+# true per-channel fan.
+depthwise_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
 class FrozenBatchNorm(nn.Module):
@@ -268,7 +273,7 @@ class SeparableConv(nn.Module):
         in_ch = x.shape[-1]
         x = nn.Conv(in_ch, (3, 3), strides=(self.stride, self.stride), padding="SAME",
                     feature_group_count=in_ch, use_bias=False, dtype=self.dtype,
-                    kernel_init=conv_init, name="depthwise")(x)
+                    kernel_init=depthwise_init, name="depthwise")(x)
         x = FrozenBatchNorm(dtype=self.dtype, name="bn_dw")(x)
         x = nn.relu6(x)
         x = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=self.dtype,

@@ -144,7 +144,8 @@ class FasterRCNNFPN(nn.Module):
     # -- stages ---------------------------------------------------------------
     def _preprocess(self, images):
         means = jnp.asarray(self.config.PIXEL_MEANS, jnp.float32)
-        return (images.astype(jnp.float32) - means).astype(self.dtype)
+        x = (images.astype(jnp.float32) - means) * self.config.TPU.PIXEL_SCALE
+        return x.astype(self.dtype)
 
     def _pyramid(self, images):
         return self.neck(self.stages(self._preprocess(images)))  # P2..P6

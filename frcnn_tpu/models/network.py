@@ -136,7 +136,8 @@ class FasterRCNN(nn.Module):
         BASELINE.json wants preprocessing fused into the XLA graph).
         images: (B, H, W, 3) float or uint8, BGR (Caffe convention)."""
         means = jnp.asarray(self.config.PIXEL_MEANS, jnp.float32)
-        return (images.astype(jnp.float32) - means).astype(self.dtype)
+        x = (images.astype(jnp.float32) - means) * self.config.TPU.PIXEL_SCALE
+        return x.astype(self.dtype)
 
     def _rpn(self, feat):
         """RPN conv head → (cls_logits (B,K,2), fg_prob (B,K), deltas (B,K,4))
