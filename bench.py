@@ -9,11 +9,19 @@ Baseline: the reference's CPU throughput at the same config, measured with
 scripts/torch_cpu_baseline.py on this machine = 0.1538 images/sec
 (6.5 s/image; see BASELINE.md).  The north-star asks for >= 10x that.
 
+Timing methodology (important on the axon-tunneled TPU):
+jax.block_until_ready does NOT reliably wait on this experimental backend,
+and each dispatch pays ~25 ms of RPC overhead.  So the iteration loop runs
+IN-GRAPH (lax.fori_loop with a data dependency between iterations), the
+chain ends in one tiny host readback, and the per-iteration cost is the
+SLOPE between two loop lengths — pure device throughput, no dispatch
+overhead, no async mirage.
+
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import dataclasses
 import json
-import sys
 import time
 
 TORCH_CPU_BASELINE_IPS = 0.1538  # measured 2026-08-16, scripts/torch_cpu_baseline.py
@@ -28,8 +36,6 @@ def main():
     from frcnn_tpu.models import build_model
 
     cfg = default_config()
-    import dataclasses
-
     cfg = dataclasses.replace(
         cfg,
         TEST=dataclasses.replace(cfg.TEST, SCALES=(800,), MAX_SIZE=1333),
@@ -44,25 +50,34 @@ def main():
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.uniform(0, 255, (batch, h, w, 3)).astype(np.float32))
     im_info = jnp.tile(jnp.asarray([[h, w, 1.0]], jnp.float32), (batch, 1))
-
     variables = model.init(jax.random.PRNGKey(0), images[:1], im_info[:1])
-    detect = jax.jit(lambda v, im, ii: model.apply(v, im, ii, method="detect"))
 
-    # warmup / compile
-    d, valid = detect(variables, images, im_info)
-    jax.block_until_ready((d, valid))
+    @jax.jit
+    def detect_loop(v, im, ii0, n):
+        def body(i, carry):
+            ii, acc = carry
+            det, _valid = model.apply(v, im, ii, method="detect")
+            # serialize iterations: next input depends on this output
+            return ii + jnp.sum(det[:, 0, 0]) * 0.0, acc + jnp.sum(det[:, 0, 0])
+        return jax.lax.fori_loop(0, n, body, (ii0, 0.0))
 
-    iters = 20 if on_tpu else 2
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        d, valid = detect(variables, images, im_info)
-    jax.block_until_ready((d, valid))
-    dt = (time.perf_counter() - t0) / iters
+    # warmup / compile, synced by readback
+    out = detect_loop(variables, images, im_info, 2)
+    _ = np.asarray(out[1])
+
+    n_lo, n_hi = (4, 12) if on_tpu else (1, 2)
+    times = {}
+    for n in (n_lo, n_hi):
+        t0 = time.perf_counter()
+        out = detect_loop(variables, images, im_info, n)
+        _ = np.asarray(out[1])  # forces completion
+        times[n] = time.perf_counter() - t0
+    dt = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
     ips = batch / dt
 
     print(json.dumps({
         "metric": "images_per_sec_per_chip (ResNet-50 C4, 800x1216, batch "
-                  f"{batch}, end-to-end fused detect)",
+                  f"{batch}, end-to-end fused detect, in-graph slope timing)",
         "value": round(ips, 2),
         "unit": "images/sec",
         "vs_baseline": round(ips / TORCH_CPU_BASELINE_IPS, 2),

@@ -75,18 +75,32 @@ class Detector:
 
 def throughput(detector: Detector, batch: int, iters: int = 20,
                warmup: int = 2) -> float:
-    """Steady-state images/sec of the fused pipeline on synthetic data."""
+    """Steady-state images/sec of the fused pipeline on synthetic data.
+
+    Timing: iterations are serialized by a data dependency (a scalar*0 of
+    the previous detections folded into im_info) and the chain ends with one
+    host readback — jax.block_until_ready does not reliably wait on the
+    axon-tunneled TPU backend, so only a readback proves completion."""
     import time
+
+    import jax.numpy as jnp
 
     h, w = detector.cfg.TPU.BUCKETS[0]
     rng = np.random.RandomState(0)
     data = rng.uniform(0, 255, (batch, h, w, 3)).astype(np.float32)
-    im_info = np.tile(np.asarray([[h, w, 1.0]], np.float32), (batch, 1))
+    im_info = np.asarray(
+        np.tile(np.asarray([[h, w, 1.0]], np.float32), (batch, 1)))
+
+    def step(x_info):
+        det, valid = detector.detect_blobs(data, x_info)
+        return x_info + jnp.sum(det[:, 0, 0]) * 0.0, det
+
+    x_info = jnp.asarray(im_info)
     for _ in range(warmup):
-        out = detector.detect_blobs(data, im_info)
-    jax.block_until_ready(out)
+        x_info, det = step(x_info)
+    _ = np.asarray(det[0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = detector.detect_blobs(data, im_info)
-    jax.block_until_ready(out)
+        x_info, det = step(x_info)
+    _ = np.asarray(det[0, 0])
     return batch * iters / (time.perf_counter() - t0)

@@ -162,7 +162,7 @@ def nms_mask_pallas(boxes, thresh, valid=None, interpret: bool = False):
 B_BLOCK = 8
 
 
-def _nms_kernel_b(coords_ref, valid_ref, keep_ref, sup_ref, *, thresh, n):
+def _nms_kernel_b(coords_ref, valid_ref, keep_ref, sup_ref, *, thresh, n, chunk):
     ti = pl.program_id(1)
 
     @pl.when(ti == 0)
@@ -206,27 +206,28 @@ def _nms_kernel_b(coords_ref, valid_ref, keep_ref, sup_ref, *, thresh, n):
     g_row = start + t_idx.reshape(bb, TILE, 1)
 
     def chunk_body(jb, _):
-        cs = pl.multiple_of(jb * CHUNK, CHUNK)
-        xc1 = coords_ref[:, 0, pl.ds(cs, CHUNK)].reshape(bb, 1, CHUNK)
-        yc1 = coords_ref[:, 1, pl.ds(cs, CHUNK)].reshape(bb, 1, CHUNK)
-        xc2 = coords_ref[:, 2, pl.ds(cs, CHUNK)].reshape(bb, 1, CHUNK)
-        yc2 = coords_ref[:, 3, pl.ds(cs, CHUNK)].reshape(bb, 1, CHUNK)
+        cs = pl.multiple_of(jb * chunk, chunk)
+        xc1 = coords_ref[:, 0, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
+        yc1 = coords_ref[:, 1, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
+        xc2 = coords_ref[:, 2, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
+        yc2 = coords_ref[:, 3, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
         iou = _iou_mask(col(xt1), col(yt1), col(xt2), col(yt2),
                         xc1, yc1, xc2, yc2, thresh)
-        g_col = cs + jax.lax.broadcasted_iota(jnp.int32, (bb, 1, CHUNK), 2)
+        g_col = cs + jax.lax.broadcasted_iota(jnp.int32, (bb, 1, chunk), 2)
         new_sup = jnp.any(kept_col & iou & (g_col > g_row), axis=1)  # (BB, C)
-        cur = sup_ref[:, pl.ds(cs, CHUNK)]
-        sup_ref[:, pl.ds(cs, CHUNK)] = jnp.maximum(cur, new_sup.astype(jnp.int32))
+        cur = sup_ref[:, pl.ds(cs, chunk)]
+        sup_ref[:, pl.ds(cs, chunk)] = jnp.maximum(cur, new_sup.astype(jnp.int32))
         return 0
 
-    jax.lax.fori_loop(start // CHUNK, n // CHUNK, chunk_body, 0)
+    jax.lax.fori_loop((start // chunk), n // chunk, chunk_body, 0)
 
 
 @partial(jax.jit, static_argnames=("thresh",))
 def _nms_pallas_batched_padded(coords, valid, thresh: float):
-    """coords (B, 4, N), valid (B, N) i32; B % B_BLOCK == 0, N % CHUNK == 0."""
+    """coords (B, 4, N), valid (B, N) i32; B % B_BLOCK == 0, N % TILE == 0."""
     b, _, n = coords.shape
-    kernel = partial(_nms_kernel_b, thresh=float(thresh), n=n)
+    chunk = min(CHUNK, n)  # small problems don't pad to the full chunk
+    kernel = partial(_nms_kernel_b, thresh=float(thresh), n=n, chunk=chunk)
     keep = pl.pallas_call(
         kernel,
         grid=(b // B_BLOCK, n // TILE),
@@ -253,7 +254,9 @@ def nms_mask_pallas_batched(boxes, thresh, valid=None, interpret: bool = False):
     b, n = boxes.shape[:2]
     if valid is None:
         valid = jnp.ones((b, n), dtype=bool)
-    pad_n = (-n) % CHUNK
+    # pad N to a tile multiple; the kernel picks chunk = min(CHUNK, N) so
+    # small per-class problems (e.g. 300 boxes) don't pay for 1024 columns
+    pad_n = (-n) % TILE if n <= CHUNK else (-n) % CHUNK
     pad_b = (-b) % B_BLOCK
     if pad_n or pad_b:
         boxes = jnp.pad(boxes, ((0, pad_b), (0, pad_n), (0, 0)))
