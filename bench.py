@@ -53,13 +53,16 @@ def main():
     variables = model.init(jax.random.PRNGKey(0), images[:1], im_info[:1])
 
     @jax.jit
-    def detect_loop(v, im, ii0, n):
+    def detect_loop(v, im0, ii, n):
         def body(i, carry):
-            ii, acc = carry
+            im, acc = carry
             det, _valid = model.apply(v, im, ii, method="detect")
-            # serialize iterations: next input depends on this output
-            return ii + jnp.sum(det[:, 0, 0]) * 0.0, acc + jnp.sum(det[:, 0, 0])
-        return jax.lax.fori_loop(0, n, body, (ii0, 0.0))
+            # serialize iterations THROUGH THE IMAGES: a dependency on only
+            # im_info lets XLA hoist the loop-invariant backbone out of the
+            # loop (observed: 'throughput' excluding the backbone entirely)
+            s = jnp.sum(det[:, 0, 0])
+            return im + s * 0.0, acc + s
+        return jax.lax.fori_loop(0, n, body, (im0, 0.0))
 
     # warmup / compile, synced by readback
     out = detect_loop(variables, images, im_info, 2)

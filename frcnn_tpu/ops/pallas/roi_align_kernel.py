@@ -10,22 +10,23 @@ uses a **pooled separable-bilinear** formulation:
 where Ay (p, H) / Ax (p, W) are the bilinear interpolation matrices with the
 sampling_ratio mean-pool *pre-folded in* (pooling is linear, so averaging the
 sr sample rows of the interpolation matrix gives the exact same operator at
-1/sr^2 the FLOPs).  Matrices are built in-kernel from roi coordinates with
-iota comparisons — no gathers.
+1/sr^2 the FLOPs).
 
-MXU utilization: a tile of ROI_TILE rois stacks its Ay matrices along the
-matmul M dimension (ROI_TILE*p = 126 ≈ the 128-row MXU tile), so the big
-F-contraction runs near full matrix-unit occupancy; only the small per-roi
-x-contraction is batched.  Grid is (channel_blocks, roi_tiles): the feature
-map streams through VMEM one channel block at a time.
+Everything in a grid step is **tile-batched** — the interpolation matrices
+for all ROI_TILE rois build in one set of 3-D iota/select ops, the
+F-contraction stacks the tile's Ay blocks along the matmul M dimension
+(16*7 = 112 ≈ the 128-row MXU tile), and the x-contraction is a single
+batched dot_general — no per-roi python loop (op-issue latency at ~1216
+grid steps made the looped version 30 ms; this one is ~6x fewer ops and
+4x fewer grid steps via 512-channel blocks).
 
 Backward (dF only — rois are detached in the reference lineage):
 dF = sum_r Ay[r]^T @ dOut[r] @ Ax[r], accumulated per channel block with
 roi_tiles as the inner grid dimension (out block revisited; initialized at
-the first visit), with the Ay^T contraction stacked exactly like forward.
+the first visit), same batched structure.
 
-Precision: f32 inputs use HIGHEST (needed for parity tests); bf16 feature
-inputs use native bf16 MXU passes (production path).
+Precision: f32 inputs use HIGHEST MXU passes (parity tests); bf16 inputs use
+native bf16 (production).
 
 Numerical truth: frcnn_tpu.ops.roi_align.roi_align (torchvision
 aligned=False semantics, fixed sampling_ratio); equality tested in
@@ -41,9 +42,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROI_TILE = 16   # 16 * 7 = 112 stacked matmul rows ≈ one 128-row MXU tile
-                # (tile must be divisible by 8: Pallas block-shape rule)
-CHAN_BLOCK = 128
+ROI_TILE = 16   # stacked matmul rows = 16 * 7 = 112 (block must be 8-divisible)
+CHAN_BLOCK = 512
 
 
 def _precision(dtype):
@@ -51,97 +51,89 @@ def _precision(dtype):
             else jax.lax.Precision.DEFAULT)
 
 
-def _pooled_interp(coords, size: int, p: int, sr: int):
-    """(p, size) interpolation matrix with the sr-sample mean folded in.
+def _tile_matrices(rois, lo_i, hi_i, size, p, sr, scale, dtype):
+    """Pooled interpolation matrices for a whole roi tile, one shot.
 
-    coords: (p*sr, 1) f32 sample positions (torchvision border semantics).
+    rois (RT, 4); returns (RT, p, size): bilinear weights with the sr-sample
+    mean folded in, torchvision border semantics.  Pure 3-D iota/select ops.
     """
+    rt = rois.shape[0]
     n = p * sr
+    lo = rois[:, lo_i:lo_i + 1] * scale                 # (RT, 1)
+    hi = rois[:, hi_i:hi_i + 1] * scale
+    bin_sz = jnp.maximum(hi - lo, 1.0) / p
+    # int iota then cast (tpu.iota only supports integer results)
+    s = (jax.lax.broadcasted_iota(jnp.int32, (rt, n), 1).astype(jnp.float32)
+         + 0.5) / sr
+    coords = (lo + s * bin_sz)[..., None]               # (RT, n, 1)
+
     empty = (coords < -1.0) | (coords > size)
     c = jnp.clip(coords, 0.0, size - 1.0)
     low = jnp.floor(c)
     ly = c - low
-    low_i = low.astype(jnp.int32)
-    high_i = jnp.minimum(low_i + 1, size - 1)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (n, size), 1)
-    w = jnp.where(cols == low_i, 1.0 - ly, 0.0)
-    w = w + jnp.where(cols == high_i, ly, 0.0)
+    low_i32 = low.astype(jnp.int32)
+    high_i32 = jnp.minimum(low_i32 + 1, size - 1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (rt, n, size), 2)
+    w = jnp.where(cols == low_i32, 1.0 - ly, 0.0)
+    w = w + jnp.where(cols == high_i32, ly, 0.0)
     w = jnp.where(empty, 0.0, w)
-    # fold the mean over each group of sr sample rows
-    return w.reshape(p, sr, size).sum(axis=1) * (1.0 / sr)
+    pooled = w.reshape(rt, p, sr, size).sum(axis=2) * (1.0 / sr)
+    return pooled.astype(dtype)                          # (RT, p, size)
 
 
-def _roi_matrices(roi, h, w, p, sr, scale, dtype):
-    """Ay (p, H), Ax (p, W) for one roi."""
-    x1 = roi[0] * scale
-    y1 = roi[1] * scale
-    x2 = roi[2] * scale
-    y2 = roi[3] * scale
-    bin_w = jnp.maximum(x2 - x1, 1.0) / p
-    bin_h = jnp.maximum(y2 - y1, 1.0) / p
-    n = p * sr
-    # int iota then cast (tpu.iota only supports integer results)
-    s = (jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).astype(jnp.float32)
-         + 0.5) / sr
-    ay = _pooled_interp(y1 + s * bin_h, h, p, sr).astype(dtype)
-    ax = _pooled_interp(x1 + s * bin_w, w, p, sr).astype(dtype)
-    return ay, ax
+def _fwd_kernel(rois_ref, feat_ref, out_ref, fx_ref, *, p, sr, scale, h, w):
+    cb = feat_ref.shape[-1]
+    prec = _precision(fx_ref.dtype)
+    rois = rois_ref[:, :]                                # (RT, 4)
 
+    # Transpose the feature block to x-major ONCE per channel block (rti is
+    # the inner grid dim); per-step output transposes were the kernel's
+    # dominant cost.
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        fx_ref[:, :] = feat_ref[0, :, :, :].transpose(1, 0, 2).reshape(w, h * cb)
 
-def _fwd_kernel(rois_ref, feat_ref, out_ref, *, p, sr, scale, h, w):
-    feat = feat_ref[0, :, :, :]                    # (H, W, CB)
-    cb = feat.shape[-1]
-    prec = _precision(feat.dtype)
-    f2d = feat.reshape(h, w * cb)
+    ay = _tile_matrices(rois, 1, 3, h, p, sr, scale, fx_ref.dtype)  # (RT, p, H)
+    ax = _tile_matrices(rois, 0, 2, w, p, sr, scale, fx_ref.dtype)  # (RT, p, W)
 
-    ays, axs = [], []
-    for r in range(ROI_TILE):
-        ay, ax = _roi_matrices(rois_ref[r, :], h, w, p, sr, scale, feat.dtype)
-        ays.append(ay)
-        axs.append(ax)
-    ay_all = jnp.concatenate(ays, axis=0)          # (RT*p, H) — stacked M dim
-    g_all = jnp.dot(ay_all, f2d, preferred_element_type=jnp.float32,
-                    precision=prec)                # (RT*p, W*CB)
-    g_all = g_all.astype(feat.dtype)
-    for r in range(ROI_TILE):
-        g_r = g_all[r * p:(r + 1) * p].reshape(p, w, cb)
-        out_r = jax.lax.dot_general(
-            axs[r], g_r,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec)                        # (p_x, p_y, CB)
-        out_ref[r, :, :, :] = out_r.transpose(1, 0, 2).astype(out_ref.dtype)
+    # stacked x-contraction: (RT*p, W) @ (W, H*CB)
+    g = jnp.dot(ax.reshape(ROI_TILE * p, w), fx_ref[:, :],
+                preferred_element_type=jnp.float32, precision=prec)
+    g = g.reshape(ROI_TILE, p, h, cb).astype(fx_ref.dtype)   # (RT, px, H, CB)
+    # batched y-contraction: (RT, p_y, H) x (RT, p_x, H, CB) → (RT, py, px, CB)
+    out = jax.lax.dot_general(
+        ay, g,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32, precision=prec)
+    out_ref[:, :, :, :] = out.astype(out_ref.dtype)
 
 
 def _bwd_kernel(rois_ref, g_ref, dfeat_ref, *, p, sr, scale, h, w):
-    rt = pl.program_id(1)
+    rt_i = pl.program_id(1)
 
-    @pl.when(rt == 0)
+    @pl.when(rt_i == 0)
     def _():
         dfeat_ref[0, :, :, :] = jnp.zeros_like(dfeat_ref[0, :, :, :])
 
     cb = dfeat_ref.shape[-1]
-    prec = _precision(jnp.float32)
-    ays, dgs = [], []
-    for r in range(ROI_TILE):
-        ay, ax = _roi_matrices(rois_ref[r, :], h, w, p, sr, scale, jnp.float32)
-        dout = g_ref[r, :, :, :].astype(jnp.float32)   # (p_y, p_x, CB)
-        # dG_r = dout @ Ax over x: (p_y, W, CB)
-        dg = jax.lax.dot_general(
-            dout.transpose(0, 2, 1).reshape(p * cb, p), ax,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec)                            # (p_y*CB, W)
-        dgs.append(dg.reshape(p, cb, w).transpose(0, 2, 1).reshape(p, w * cb))
-        ays.append(ay)
-    ay_all = jnp.concatenate(ays, axis=0)              # (RT*p, H)
-    dg_all = jnp.concatenate(dgs, axis=0)              # (RT*p, W*CB)
-    # dF += Ay_all^T @ dG_all — stacked K dim fills the MXU
-    upd = jax.lax.dot_general(
-        ay_all, dg_all,
-        dimension_numbers=(((0,), (0,)), ((), ())),
+    prec = jax.lax.Precision.HIGHEST
+    rois = rois_ref[:, :]
+    ay = _tile_matrices(rois, 1, 3, h, p, sr, scale, jnp.float32)  # (RT, p, H)
+    ax = _tile_matrices(rois, 0, 2, w, p, sr, scale, jnp.float32)  # (RT, p, W)
+    dout = g_ref[:, :, :, :].astype(jnp.float32)                   # (RT, py, px, CB)
+
+    # dG (RT, p_y, W, CB) = contract dout's p_x with Ax
+    dg = jax.lax.dot_general(
+        ax, dout,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=prec)                                # (H, W*CB)
+        precision=prec)                                   # (RT, W, p_y, CB)
+    dg = dg.transpose(0, 2, 1, 3)                          # (RT, p_y, W, CB)
+    # dF += Ay_all^T @ dG_all: contract stacked (RT*p) dim
+    upd = jax.lax.dot_general(
+        ay.reshape(ROI_TILE * p, h), dg.reshape(ROI_TILE * p, w * cb),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)  # (H, W*CB)
     acc = dfeat_ref[0, :, :, :].reshape(h, w * cb).astype(jnp.float32)
     dfeat_ref[0, :, :, :] = (acc + upd).reshape(h, w, cb).astype(dfeat_ref.dtype)
 
@@ -152,6 +144,13 @@ def _pad_rois(rois):
     if pad:
         rois = jnp.pad(rois, ((0, pad), (0, 0)))
     return rois, r
+
+
+def _chan_block(c: int) -> int:
+    cb = min(CHAN_BLOCK, c)
+    while c % cb != 0:
+        cb //= 2
+    return cb
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -166,8 +165,7 @@ def _fwd(feat, rois, p, scale, sr):
     h, w, c = feat.shape
     rois_p, r_orig = _pad_rois(rois)
     rt = rois_p.shape[0] // ROI_TILE
-    cbl = min(CHAN_BLOCK, c)
-    assert c % cbl == 0, f"channels {c} not divisible by {cbl}"
+    cbl = _chan_block(c)
     kernel = functools.partial(_fwd_kernel, p=p, sr=sr, scale=scale, h=h, w=w)
     out = pl.pallas_call(
         kernel,
@@ -182,8 +180,9 @@ def _fwd(feat, rois, p, scale, sr):
                                lambda cb, rti: (rti, 0, 0, cb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rois_p.shape[0], p, p, c), feat.dtype),
+        scratch_shapes=[pltpu.VMEM((w, h * cbl), feat.dtype)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(rois_p, feat[None])
     return out[:r_orig]
 
@@ -204,7 +203,7 @@ def _bwd_rule(p, scale, sr, res, g):
     if pad:
         g = jnp.pad(g, ((0, pad), (0, 0), (0, 0), (0, 0)))
     rt = rois_p.shape[0] // ROI_TILE
-    cbl = min(CHAN_BLOCK, c)
+    cbl = _chan_block(c)
     kernel = functools.partial(_bwd_kernel, p=p, sr=sr, scale=scale, h=h, w=w)
     dfeat = pl.pallas_call(
         kernel,
@@ -219,7 +218,7 @@ def _bwd_rule(p, scale, sr, res, g):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, h, w, c), dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(rois_p, g)
     return dfeat[0], jnp.zeros_like(rois)
 
