@@ -79,6 +79,10 @@ class TrainConfig:
     RPN_POST_NMS_TOP_N: int = 2000
     RPN_POSITIVE_WEIGHT: float = -1.0
     USE_ALL_GT: bool = True
+    # TPU-era additions (no reference counterpart; defaults keep parity):
+    GRAD_CLIP: float = 0.0        # global-norm gradient clip (0 = off)
+    WARMUP_ITERS: int = 0         # linear lr warmup steps (0 = off)
+    WARMUP_FACTOR: float = 0.1    # starting lr fraction during warmup
 
 
 @dataclass(frozen=True)

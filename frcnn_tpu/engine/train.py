@@ -127,9 +127,23 @@ def _param_labels(model, params) -> Any:
 
 
 def make_lr_schedule(cfg: Config):
-    """Step decay: LEARNING_RATE * GAMMA^(#STEPSIZEs passed)."""
+    """Step decay: LEARNING_RATE * GAMMA^(#STEPSIZEs passed), with optional
+    linear warmup (WARMUP_ITERS/WARMUP_FACTOR — needed for from-scratch
+    training; off by default for reference parity)."""
     boundaries = {int(s): cfg.TRAIN.GAMMA for s in cfg.TRAIN.STEPSIZE}
-    return optax.piecewise_constant_schedule(cfg.TRAIN.LEARNING_RATE, boundaries)
+    base = optax.piecewise_constant_schedule(cfg.TRAIN.LEARNING_RATE, boundaries)
+    if cfg.TRAIN.WARMUP_ITERS <= 0:
+        return base
+    w = cfg.TRAIN.WARMUP_ITERS
+    f = cfg.TRAIN.WARMUP_FACTOR
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        frac = jnp.minimum(step / w, 1.0)
+        return base(step) * (f + (1.0 - f) * frac)
+
+    return schedule
 
 
 def make_optimizer(model, params, cfg: Config):
@@ -154,6 +168,8 @@ def make_optimizer(model, params, cfg: Config):
     tx = optax.multi_transform(
         {"weight": weight_tx, "bias": bias_tx, "frozen": optax.set_to_zero()},
         labels)
+    if cfg.TRAIN.GRAD_CLIP > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.TRAIN.GRAD_CLIP), tx)
     return tx, schedule
 
 

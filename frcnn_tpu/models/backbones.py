@@ -150,15 +150,26 @@ class VGG16(nn.Module):
 _RESNET_DEPTHS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
 
 
+def make_norm(norm: str, dtype):
+    """'frozen_bn' (reference parity: eval-mode BN, never trained) or
+    'group' (GroupNorm-32 — trainable; the standard from-scratch choice)."""
+    if norm == "frozen_bn":
+        return partial(FrozenBatchNorm, dtype=dtype)
+    if norm == "group":
+        return partial(nn.GroupNorm, num_groups=32, dtype=dtype)
+    raise ValueError(f"unknown norm: {norm}")
+
+
 class Bottleneck(nn.Module):
     channels: int  # bottleneck width; output is channels * 4
     stride: int = 1
     dtype: Any = jnp.float32
+    norm: str = "frozen_bn"
 
     @nn.compact
     def __call__(self, x):
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype, kernel_init=conv_init)
-        bn = partial(FrozenBatchNorm, dtype=self.dtype)
+        bn = make_norm(self.norm, self.dtype)
         residual = x
         y = conv(self.channels, (1, 1), name="conv1")(x)
         y = bn(name="bn1")(y)

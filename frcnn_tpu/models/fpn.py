@@ -39,14 +39,17 @@ class _ResNetStages(nn.Module):
 
     depth: int = 101
     dtype: Any = jnp.float32
+    norm: str = "frozen_bn"
 
     @nn.compact
     def __call__(self, x):
+        from frcnn_tpu.models.backbones import make_norm
+
         blocks = _RESNET_DEPTHS[self.depth]
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, kernel_init=conv_init,
                     name="conv1")(x)
-        x = FrozenBatchNorm(dtype=self.dtype, name="bn1")(x)
+        x = make_norm(self.norm, self.dtype)(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         outs = []
@@ -54,7 +57,7 @@ class _ResNetStages(nn.Module):
                 zip(blocks, (64, 128, 256, 512), (1, 2, 2, 2)), start=1):
             for bi in range(n):
                 x = Bottleneck(ch, stride if bi == 0 else 1, dtype=self.dtype,
-                               name=f"layer{li}_block{bi}")(x)
+                               norm=self.norm, name=f"layer{li}_block{bi}")(x)
             outs.append(x)
         return outs  # [C2, C3, C4, C5]
 
@@ -111,6 +114,7 @@ class FasterRCNNFPN(nn.Module):
     config: Config
     depth: int = 101
     dtype: Any = jnp.float32
+    norm: str = "frozen_bn"   # 'group' enables from-scratch training
 
     @property
     def _A(self) -> int:
@@ -125,7 +129,7 @@ class FasterRCNNFPN(nn.Module):
         cfg = self.config
         init = nn.initializers.normal
         self.stages = _ResNetStages(depth=self.depth, dtype=self.dtype,
-                                    name="stages")
+                                    norm=self.norm, name="stages")
         self.neck = FPNNeck(out_channels=cfg.FPN.OUT_CHANNELS, dtype=self.dtype,
                             name="neck")
         self.box_head = _FPNBoxHead(dtype=self.dtype, name="box_head")
@@ -322,11 +326,16 @@ class FasterRCNNFPN(nn.Module):
         return self.predict(images, im_info)
 
     def frozen_param(self, path: tuple, cfg=None) -> bool:
-        """Freezing for the optimizer mask: BN always; conv1/bn1 + fixed
-        blocks inside 'stages' (same policy as the C4 resnet)."""
+        """Freezing for the optimizer mask: frozen-BN params always (not
+        GroupNorm); conv1 + fixed blocks inside 'stages' (same policy as the
+        C4 resnet).  With norm='group' nothing in the trunk is frozen except
+        what FIXED_BLOCKS demands."""
         s = [str(p) for p in path]
-        if any(p.startswith(("bn", "downsample_bn")) for p in s):
+        if self.norm == "frozen_bn" and any(
+                p.startswith(("bn", "downsample_bn")) for p in s):
             return True
+        if self.norm != "frozen_bn":
+            return False
         if s and s[0] == "stages":
             fixed = cfg.RESNET.FIXED_BLOCKS if cfg is not None else 1
             if any(p in ("conv1", "bn1") for p in s[1:2]):
@@ -338,7 +347,9 @@ class FasterRCNNFPN(nn.Module):
 
 
 def build_fpn_model(net: str, num_classes: int, cfg: Config, dtype=jnp.float32):
-    """net: 'res50_fpn' | 'res101_fpn' | 'res152_fpn'."""
-    depth = int(net.replace("res", "").replace("_fpn", ""))
+    """net: 'res{50,101,152}_fpn' (frozen-BN, reference-parity pretrained
+    path) or 'res{...}_fpn_gn' (GroupNorm — trainable from scratch)."""
+    norm = "group" if net.endswith("_gn") else "frozen_bn"
+    depth = int(net.replace("res", "").replace("_fpn", "").replace("_gn", ""))
     return FasterRCNNFPN(num_classes=num_classes, config=cfg, depth=depth,
-                         dtype=dtype)
+                         dtype=dtype, norm=norm)

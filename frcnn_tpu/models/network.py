@@ -285,7 +285,7 @@ def build_model(net: str, num_classes: int, cfg: Config, dtype=jnp.float32):
     net: vgg16 | res50 | res101 | res152 | mobile, or res{50,101,152}_fpn
     for the FPN variant (capability beyond the reference).
     """
-    if net.endswith("_fpn"):
+    if "_fpn" in net:
         from frcnn_tpu.models.fpn import build_fpn_model
 
         return build_fpn_model(net, num_classes, cfg, dtype=dtype)
