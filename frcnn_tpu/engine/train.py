@@ -265,11 +265,16 @@ class SolverWrapper:
         ckptr.save(osp.abspath(path) + ".ckpt", state_np)
         ckptr.wait_until_finished()
         # sidecar: exact-resume host state (reference .pkl)
+        # prefetch runs ahead of training: snapshot the state as of the
+        # last CONSUMED batch, not the loader's live (ahead) cursor
+        layer_state = getattr(self, "_layer_state_consumed", None)
+        if layer_state is None:
+            layer_state = self.data_layer.get_state()
         with open(path + ".pkl", "wb") as f:
             pickle.dump({
                 "iter": step,
                 "np_rng": np.random.get_state(),
-                "layer_state": self.data_layer.get_state(),
+                "layer_state": layer_state,
                 "val_layer_state": self.data_layer_val.get_state()
                 if self.data_layer_val else None,
             }, f)
@@ -343,6 +348,31 @@ class SolverWrapper:
         timer = Timer()
         last_summary = time.time()
         profiling = False
+
+        # Background prefetch: overlap host-side minibatch assembly (cv2
+        # decode + resize on this box's single CPU core) with the device
+        # step.  One-deep queue keeps the exact data order (and therefore
+        # the exact-resume contract) intact.
+        import queue as _queue
+        import threading
+
+        batch_q: _queue.Queue = _queue.Queue(maxsize=2)
+        stop_flag = threading.Event()
+        n_needed = max_iters - start
+
+        def _producer():
+            # each item carries the loader state AFTER generating it, so a
+            # snapshot taken at step k resumes with batch k+1 exactly even
+            # though the producer runs ahead (exact-resume contract)
+            for _ in range(n_needed):
+                if stop_flag.is_set():
+                    return
+                blobs = self.data_layer.forward()
+                batch_q.put((blobs, self.data_layer.get_state()))
+
+        producer = threading.Thread(target=_producer, daemon=True)
+        producer.start()
+
         step = start
         while step < max_iters:
             # profiler window (SURVEY.md §5.1: jax.profiler + Perfetto trace)
@@ -356,7 +386,7 @@ class SolverWrapper:
                 print(f"wrote profiler trace to {cfg.TPU.PROFILE_DIR}")
 
             timer.tic()
-            blobs = self.data_layer.forward()
+            blobs, self._layer_state_consumed = batch_q.get()
             if self.mesh is not None:
                 from frcnn_tpu.parallel.mesh import shard_batch
 
@@ -408,6 +438,9 @@ class SolverWrapper:
                 last_summary = time.time()
         if profiling:
             jax.profiler.stop_trace()
+        stop_flag.set()
+        while not batch_q.empty():  # unblock a producer waiting on put()
+            batch_q.get_nowait()
         if step > start and step % cfg.TRAIN.SNAPSHOT_ITERS != 0:
             self.snapshot(step)
         if writer is not None:
