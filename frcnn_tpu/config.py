@@ -144,7 +144,11 @@ class TPUConfig:
 
     # Image buckets (H, W) after aspect-preserving resize + zero pad; every
     # jitted graph is compiled per bucket.  Multiples of 2*FEAT_STRIDE.
-    BUCKETS: Tuple[Tuple[int, int], ...] = ((608, 1024),)
+    # Both orientations ship by default: a portrait VOC image (h > w,
+    # ~1/3 of the dataset) resized to shorter-side-600 can be 1000 tall —
+    # without the (1024, 608) bucket it would silently shrink to fit
+    # 608 high (effective shorter side ~365 instead of 600, costing mAP).
+    BUCKETS: Tuple[Tuple[int, int], ...] = ((608, 1024), (1024, 608))
     MAX_GT: int = 64                        # padded gt boxes per image
     NUM_DETECTIONS: int = 100               # padded final detections per image
     DTYPE: str = "bfloat16"                 # compute dtype for conv trunk

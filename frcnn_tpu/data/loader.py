@@ -45,6 +45,21 @@ def pick_scale_and_bucket(h: int, w: int, target_size: int, max_size: int, bucke
     return scale * shrink, (bh, bw)
 
 
+def snap_to_bucket(hws, buckets):
+    """Smallest configured bucket covering the componentwise max of the given
+    (h, w) shapes.  When one batch mixes orientations (e.g. a (608, 1024)
+    image next to a (1024, 608) one) no single configured bucket covers both;
+    fall back to the componentwise max over all buckets — the implicit
+    'union' bucket — so the batch still has one static shape drawn from a
+    finite set (ASPECT_GROUPING keeps this fallback rare in training)."""
+    need_h = max(h for h, _ in hws)
+    need_w = max(w for _, w in hws)
+    fitting = [b for b in buckets if b[0] >= need_h and b[1] >= need_w]
+    if fitting:
+        return min(fitting, key=lambda b: (b[0] * b[1], b))
+    return (max(b[0] for b in buckets), max(b[1] for b in buckets))
+
+
 def prep_im_for_blob(im, target_size: int, max_size: int, buckets):
     """Resize into a bucket.  Returns (padded_im float32 (bh, bw, 3) BGR raw
     pixels, scale).  Reference prep_im_for_blob also mean-subtracts; ours is
@@ -85,20 +100,21 @@ def get_minibatch(roidb, cfg: Config, rng: np.random.RandomState | None = None):
     max_gt = cfg.TPU.MAX_GT
 
     images, infos, gtb, gtl, gtv = [], [], [], [], []
-    bucket_hw = (0, 0)
     prepped = []
     for entry in roidb:
         im = cv2.imread(entry["image"])
         assert im is not None, f"failed to read {entry['image']}"
         if entry.get("flipped", False):
             im = im[:, ::-1, :]
-        # scale sampled from cfg.TRAIN.SCALES (reference samples per image;
-        # we sample once per batch so shapes stay uniform)
+        # scale sampled per image from cfg.TRAIN.SCALES (reference
+        # minibatch.py samples npr.randint per image the same way)
         target = t.SCALES[rng.randint(0, len(t.SCALES))] if len(t.SCALES) > 1 \
             else t.SCALES[0]
         padded, scale = prep_im_for_blob(im, target, t.MAX_SIZE, buckets)
         prepped.append((entry, im.shape[:2], padded, scale))
-        bucket_hw = max(bucket_hw, padded.shape[:2])
+    # all images of the batch share one static shape: the smallest bucket
+    # covering every per-image bucket (componentwise, NOT lexicographic max)
+    bucket_hw = snap_to_bucket([p[2].shape[:2] for p in prepped], buckets)
 
     for entry, (h, w), padded, scale in prepped:
         if padded.shape[:2] != bucket_hw:  # re-pad smaller buckets up

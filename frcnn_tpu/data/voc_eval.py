@@ -1,10 +1,14 @@
-"""The canonical Pascal VOC detection evaluator.
+"""The Pascal VOC detection evaluator.
 
-Rebuild of reference ``lib/datasets/voc_eval.py:~1-200`` (SURVEY.md #28):
-parse annotations (with a pkl cache), sort detections by confidence, greedy
-TP/FP matching at an IoU threshold (difficult gt boxes neither count nor
-penalize), precision/recall, and ``voc_ap`` with both the 11-point
-interpolated metric (VOC <= 2009) and the all-point metric.
+Same numerics as the canonical evaluator the reference ships
+(``lib/datasets/voc_eval.py:~1-200``, SURVEY.md #28) — greedy
+confidence-ordered TP/FP matching at an IoU threshold with VOC's inclusive
+pixel corners, difficult gt boxes neither counting nor penalizing, and both
+AP metrics (11-point interpolation for VOC <= 2009, all-point area under the
+monotone precision envelope otherwise) — but written in this repo's idiom:
+the per-detection IoU row is one vectorized helper shared with the tests,
+and per-image gt state lives in a small class instead of parallel dicts.
+Golden tests (tests/test_data.py, tests/test_misc.py) pin the numbers.
 """
 
 from __future__ import annotations
@@ -17,144 +21,141 @@ import numpy as np
 
 
 def parse_rec(filename: str):
-    """Parse a PASCAL VOC xml annotation file into a list of object dicts."""
-    tree = ET.parse(filename)
+    """Parse one VOC xml annotation into a list of object dicts
+    (name/pose/truncated/difficult/bbox, bbox in the file's 1-based coords)."""
+
+    def text_of(node, tag, default=None):
+        child = node.find(tag)
+        return child.text if child is not None else default
+
     objects = []
-    for obj in tree.findall("object"):
-        obj_struct = {
-            "name": obj.find("name").text,
-            "pose": obj.find("pose").text if obj.find("pose") is not None else "",
-            "truncated": int(obj.find("truncated").text)
-            if obj.find("truncated") is not None else 0,
-            "difficult": int(obj.find("difficult").text)
-            if obj.find("difficult") is not None else 0,
-        }
-        bbox = obj.find("bndbox")
-        obj_struct["bbox"] = [
-            int(float(bbox.find("xmin").text)),
-            int(float(bbox.find("ymin").text)),
-            int(float(bbox.find("xmax").text)),
-            int(float(bbox.find("ymax").text)),
-        ]
-        objects.append(obj_struct)
+    for obj in ET.parse(filename).findall("object"):
+        corners = obj.find("bndbox")
+        objects.append({
+            "name": text_of(obj, "name"),
+            "pose": text_of(obj, "pose", ""),
+            "truncated": int(text_of(obj, "truncated", 0)),
+            "difficult": int(text_of(obj, "difficult", 0)),
+            "bbox": [int(float(text_of(corners, t)))
+                     for t in ("xmin", "ymin", "xmax", "ymax")],
+        })
     return objects
 
 
 def voc_ap(rec, prec, use_07_metric: bool = False):
-    """Average precision from recall/precision curves.
+    """Average precision from a recall/precision curve.
 
-    use_07_metric: 11-point interpolation (VOC <= 2009); else the all-point
-    (area-under-curve with monotone precision envelope) metric.
+    use_07_metric: mean of max-precision at the 11 recall points 0, .1 .. 1
+    (VOC <= 2009); otherwise exact area under the monotone-decreasing
+    precision envelope.
     """
+    rec, prec = np.asarray(rec), np.asarray(prec)
     if use_07_metric:
-        ap = 0.0
-        for t in np.arange(0.0, 1.1, 0.1):
-            if np.sum(rec >= t) == 0:
-                p = 0.0
-            else:
-                p = np.max(prec[rec >= t])
-            ap += p / 11.0
-        return ap
-    mrec = np.concatenate(([0.0], rec, [1.0]))
-    mpre = np.concatenate(([0.0], prec, [0.0]))
-    for i in range(mpre.size - 1, 0, -1):
-        mpre[i - 1] = np.maximum(mpre[i - 1], mpre[i])
-    i = np.where(mrec[1:] != mrec[:-1])[0]
-    return np.sum((mrec[i + 1] - mrec[i]) * mpre[i + 1])
+        points = []
+        for level in np.arange(0.0, 1.1, 0.1):
+            above = prec[rec >= level]
+            points.append(above.max() if above.size else 0.0)
+        return float(np.mean(points))
+    # envelope: prepend/append sentinels, make precision non-increasing
+    # right-to-left, integrate over recall steps
+    r = np.concatenate(([0.0], rec, [1.0]))
+    p = np.concatenate(([0.0], prec, [0.0]))
+    p = np.maximum.accumulate(p[::-1])[::-1]
+    steps = np.flatnonzero(r[1:] != r[:-1])
+    return float(np.sum((r[steps + 1] - r[steps]) * p[steps + 1]))
+
+
+def _iou_one_to_many(box, gt):
+    """IoU of one box (4,) against gt (G, 4), inclusive-corner VOC pixels."""
+    lo = np.maximum(gt[:, :2], box[:2])
+    hi = np.minimum(gt[:, 2:], box[2:])
+    wh = np.maximum(hi - lo + 1.0, 0.0)
+    inter = wh[:, 0] * wh[:, 1]
+    area = lambda b: (b[..., 2] - b[..., 0] + 1.0) * (b[..., 3] - b[..., 1] + 1.0)
+    return inter / (area(box) + area(gt) - inter)
+
+
+class _ImageGt:
+    """Ground truth of one class in one image, with greedy-match state."""
+
+    __slots__ = ("boxes", "difficult", "claimed")
+
+    def __init__(self, objs, use_diff: bool):
+        self.boxes = np.array([o["bbox"] for o in objs], dtype=float)
+        self.difficult = (np.zeros(len(objs), bool) if use_diff else
+                          np.array([o["difficult"] for o in objs], bool))
+        self.claimed = np.zeros(len(objs), bool)
+
+    @property
+    def n_counted(self) -> int:
+        return int((~self.difficult).sum())
+
+    def match(self, box, thresh: float):
+        """Greedily match a detection: returns 'tp', 'fp' or 'ignore'."""
+        if len(self.boxes) == 0:
+            return "fp"
+        iou = _iou_one_to_many(box, self.boxes)
+        j = int(iou.argmax())
+        if iou[j] <= thresh:
+            return "fp"
+        if self.difficult[j]:
+            return "ignore"
+        if self.claimed[j]:
+            return "fp"  # duplicate detection of an already-matched gt
+        self.claimed[j] = True
+        return "tp"
+
+
+def _load_annotations(annopath, imagesetfile, cachedir):
+    """All annotations for the image set, through the reference's pkl cache."""
+    with open(imagesetfile) as f:
+        image_ids = [line.strip() for line in f if line.strip()]
+    os.makedirs(cachedir, exist_ok=True)
+    cachefile = os.path.join(cachedir, "annots.pkl")
+    if os.path.isfile(cachefile):
+        with open(cachefile, "rb") as f:
+            return image_ids, pickle.load(f)
+    annots = {img: parse_rec(annopath % img) for img in image_ids}
+    with open(cachefile, "wb") as f:
+        pickle.dump(annots, f)
+    return image_ids, annots
 
 
 def voc_eval(detpath, annopath, imagesetfile, classname, cachedir,
              ovthresh: float = 0.5, use_07_metric: bool = False,
              use_diff: bool = False):
-    """PASCAL VOC detection evaluation for one class.
+    """VOC detection evaluation for one class → (recall, precision, ap).
 
-    detpath: template for the per-class results file (format: detpath %
-    classname), each line ``image_id score x1 y1 x2 y2`` (1-based coords);
-    annopath: template for xml annotations (annopath % image_id);
-    imagesetfile: one image id per line.  Returns (rec, prec, ap).
+    detpath: per-class results-file template (``detpath % classname``), one
+    detection per line as ``image_id score x1 y1 x2 y2``; annopath: xml
+    template (``annopath % image_id``); imagesetfile: one image id per line.
     """
-    os.makedirs(cachedir, exist_ok=True)
-    cachefile = os.path.join(cachedir, "annots.pkl")
-    with open(imagesetfile) as f:
-        imagenames = [x.strip() for x in f.readlines() if x.strip()]
+    image_ids, annots = _load_annotations(annopath, imagesetfile, cachedir)
+    gt = {img: _ImageGt([o for o in annots[img] if o["name"] == classname],
+                        use_diff)
+          for img in image_ids}
+    n_positive = sum(g.n_counted for g in gt.values())
 
-    if not os.path.isfile(cachefile):
-        recs = {}
-        for imagename in imagenames:
-            recs[imagename] = parse_rec(annopath % imagename)
-        with open(cachefile, "wb") as f:
-            pickle.dump(recs, f)
-    else:
-        with open(cachefile, "rb") as f:
-            recs = pickle.load(f)
+    with open(detpath % classname) as f:
+        rows = [line.split() for line in f if line.strip()]
+    det_imgs = [r[0] for r in rows]
+    det_scores = np.array([float(r[1]) for r in rows])
+    det_boxes = np.array([[float(v) for v in r[2:6]] for r in rows])
 
-    # per-image gt for this class
-    class_recs = {}
-    npos = 0
-    for imagename in imagenames:
-        R = [obj for obj in recs[imagename] if obj["name"] == classname]
-        bbox = np.array([x["bbox"] for x in R])
-        if use_diff:
-            difficult = np.zeros(len(R)).astype(bool)
-        else:
-            difficult = np.array([x["difficult"] for x in R]).astype(bool)
-        det = [False] * len(R)
-        npos = npos + sum(~difficult)
-        class_recs[imagename] = {"bbox": bbox, "difficult": difficult, "det": det}
+    # confidence-descending greedy matching
+    order = np.argsort(-det_scores)
+    true_pos = np.zeros(len(rows))
+    false_pos = np.zeros(len(rows))
+    for rank, d in enumerate(order):
+        outcome = gt[det_imgs[d]].match(det_boxes[d], ovthresh)
+        if outcome == "tp":
+            true_pos[rank] = 1.0
+        elif outcome == "fp":
+            false_pos[rank] = 1.0
 
-    detfile = detpath % classname
-    with open(detfile) as f:
-        lines = f.readlines()
-    splitlines = [x.strip().split(" ") for x in lines if x.strip()]
-    image_ids = [x[0] for x in splitlines]
-    confidence = np.array([float(x[1]) for x in splitlines])
-    BB = np.array([[float(z) for z in x[2:]] for x in splitlines])
-
-    nd = len(image_ids)
-    tp = np.zeros(nd)
-    fp = np.zeros(nd)
-
-    if BB.shape[0] > 0:
-        sorted_ind = np.argsort(-confidence)
-        BB = BB[sorted_ind, :]
-        image_ids = [image_ids[x] for x in sorted_ind]
-
-        for d in range(nd):
-            R = class_recs[image_ids[d]]
-            bb = BB[d, :].astype(float)
-            ovmax = -np.inf
-            BBGT = R["bbox"].astype(float)
-
-            if BBGT.size > 0:
-                ixmin = np.maximum(BBGT[:, 0], bb[0])
-                iymin = np.maximum(BBGT[:, 1], bb[1])
-                ixmax = np.minimum(BBGT[:, 2], bb[2])
-                iymax = np.minimum(BBGT[:, 3], bb[3])
-                iw = np.maximum(ixmax - ixmin + 1.0, 0.0)
-                ih = np.maximum(iymax - iymin + 1.0, 0.0)
-                inters = iw * ih
-                uni = (
-                    (bb[2] - bb[0] + 1.0) * (bb[3] - bb[1] + 1.0)
-                    + (BBGT[:, 2] - BBGT[:, 0] + 1.0) * (BBGT[:, 3] - BBGT[:, 1] + 1.0)
-                    - inters
-                )
-                overlaps = inters / uni
-                ovmax = np.max(overlaps)
-                jmax = np.argmax(overlaps)
-
-            if ovmax > ovthresh:
-                if not R["difficult"][jmax]:
-                    if not R["det"][jmax]:
-                        tp[d] = 1.0
-                        R["det"][jmax] = 1
-                    else:
-                        fp[d] = 1.0
-            else:
-                fp[d] = 1.0
-
-    fp = np.cumsum(fp)
-    tp = np.cumsum(tp)
-    rec = tp / float(max(npos, 1))
-    prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
-    ap = voc_ap(rec, prec, use_07_metric)
-    return rec, prec, ap
+    tp_cum = np.cumsum(true_pos)
+    fp_cum = np.cumsum(false_pos)
+    recall = tp_cum / float(max(n_positive, 1))
+    precision = tp_cum / np.maximum(tp_cum + fp_cum,
+                                    np.finfo(np.float64).eps)
+    return recall, precision, voc_ap(recall, precision, use_07_metric)

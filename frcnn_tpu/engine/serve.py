@@ -41,16 +41,19 @@ class Detector:
         self.variables = variables
         self.n_devices = 1 if mesh is None else mesh.devices.size
 
-    def _prep_batch(self, images):
-        blobs, infos = [], []
-        for im in images:
+    def _prep_groups(self, images):
+        """Preprocess and group by assigned bucket: one batch must never mix
+        bucket shapes (multi-bucket configs, e.g. landscape + portrait).
+        Returns {bucket_hw: [(orig_idx, blob, info), ...]}."""
+        groups: dict = {}
+        for i, im in enumerate(images):
             blob, scale = prep_im_for_blob(im, self.cfg.TEST.SCALES[0],
                                            self.cfg.TEST.MAX_SIZE,
                                            self.cfg.TPU.BUCKETS)
             h, w = im.shape[:2]
-            blobs.append(blob)
-            infos.append([np.round(h * scale), np.round(w * scale), scale])
-        return np.stack(blobs), np.asarray(infos, np.float32)
+            info = [np.round(h * scale), np.round(w * scale), scale]
+            groups.setdefault(blob.shape[:2], []).append((i, blob, info))
+        return groups
 
     def detect_blobs(self, data, im_info):
         """Raw fixed-shape entry: data (B, bh, bw, 3), im_info (B, 3).
@@ -64,13 +67,18 @@ class Detector:
     def __call__(self, images):
         """images: list of BGR uint8 arrays → list of (k, 6) float arrays
         [x1, y1, x2, y2, score, class] in original image coordinates."""
-        n = len(images)
-        pad = (-n) % self.n_devices
-        data, im_info = self._prep_batch(
-            list(images) + [images[-1]] * pad if pad else images)
-        dets, valid = self.detect_blobs(data, im_info)
-        dets, valid = np.asarray(dets), np.asarray(valid)
-        return [dets[i][valid[i]] for i in range(n)]
+        results = [None] * len(images)
+        for _, items in self._prep_groups(images).items():
+            pad = (-len(items)) % self.n_devices
+            data = np.stack([b for _, b, _ in items]
+                            + [items[-1][1]] * pad)
+            im_info = np.asarray([f for _, _, f in items]
+                                 + [items[-1][2]] * pad, np.float32)
+            dets, valid = self.detect_blobs(data, im_info)
+            dets, valid = np.asarray(dets), np.asarray(valid)
+            for bi, (i, _, _) in enumerate(items):
+                results[i] = dets[bi][valid[bi]]
+        return results
 
 
 def throughput(detector: Detector, batch: int, iters: int = 20,

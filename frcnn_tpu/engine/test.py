@@ -62,20 +62,19 @@ def test_net(model, variables, imdb, cfg: Config | None = None,
                      static_argnames=("max_per_image",))
 
     _t = {"im_detect": Timer(), "misc": Timer()}
-    for start in range(0, num_images, batch):
-        idx = list(range(start, min(start + batch, num_images)))
-        pad = batch - len(idx)
-        blobs, infos, scales = [], [], []
-        for i in idx:
-            im = cv2.imread(imdb.image_path_at(i))
-            assert im is not None, imdb.image_path_at(i)
-            blob, info = _prep(im, cfg)
-            blobs.append(blob)
-            infos.append(info)
-        for _ in range(pad):
-            blobs.append(np.zeros_like(blobs[0]))
-            infos.append(np.array([1.0, 1.0, 1.0], np.float32))
+    done = [0]
 
+    def flush(bucket_hw, items):
+        """Run one fixed-shape detect over `items` [(image_idx, blob, info)].
+        Images are grouped by assigned bucket so one batch never mixes
+        shapes (multi-bucket configs, e.g. landscape + portrait, would
+        otherwise break np.stack); only final partial groups pay for
+        zero-image pad slots."""
+        pad = batch - len(items)
+        blobs = [b for _, b, _ in items] + \
+            [np.zeros((*bucket_hw, 3), np.float32)] * pad
+        infos = [f for _, _, f in items] + \
+            [np.array([1.0, 1.0, 1.0], np.float32)] * pad
         _t["im_detect"].tic()
         dets, valid = detect(variables, np.stack(blobs), np.stack(infos),
                              max_per_image=max_per_image)
@@ -83,16 +82,32 @@ def test_net(model, variables, imdb, cfg: Config | None = None,
         detect_time = _t["im_detect"].toc(average=False)
 
         _t["misc"].tic()
-        for bi, i in enumerate(idx):
+        for bi, (i, _, _) in enumerate(items):
             d = dets[bi][valid[bi]]
             for cls_ind in range(1, imdb.num_classes):
                 rows = d[d[:, 5] == cls_ind]
                 if len(rows):
                     all_boxes[cls_ind][i] = rows[:, :5].astype(np.float32)
         misc_time = _t["misc"].toc(average=False)
+        done[0] += len(items)
         if verbose:
-            print(f"im_detect: {min(start + batch, num_images)}/{num_images} "
-                  f"{detect_time / len(idx):.3f}s {misc_time / len(idx):.3f}s")
+            print(f"im_detect: {done[0]}/{num_images} "
+                  f"{detect_time / len(items):.3f}s "
+                  f"{misc_time / len(items):.3f}s")
+
+    pending: dict = {}  # bucket (h, w) -> [(image_idx, blob, info), ...]
+    for i in range(num_images):
+        im = cv2.imread(imdb.image_path_at(i))
+        assert im is not None, imdb.image_path_at(i)
+        blob, info = _prep(im, cfg)
+        group = pending.setdefault(blob.shape[:2], [])
+        group.append((i, blob, info))
+        if len(group) == batch:
+            flush(blob.shape[:2], group)
+            pending[blob.shape[:2]] = []
+    for bucket_hw, group in pending.items():
+        if group:
+            flush(bucket_hw, group)
 
     det_file = osp.join(output_dir, "detections.pkl")
     with open(det_file, "wb") as f:

@@ -169,7 +169,12 @@ def make_optimizer(model, params, cfg: Config):
         {"weight": weight_tx, "bias": bias_tx, "frozen": optax.set_to_zero()},
         labels)
     if cfg.TRAIN.GRAD_CLIP > 0:
-        tx = optax.chain(optax.clip_by_global_norm(cfg.TRAIN.GRAD_CLIP), tx)
+        # Frozen leaves (FrozenBatchNorm stats/affine, fixed blocks) carry
+        # real — often large — gradients; zero them BEFORE the global-norm
+        # clip, or the inflated norm over-clips the trainable grads.
+        frozen = jax.tree.map(lambda lab: lab == "frozen", labels)
+        tx = optax.chain(optax.masked(optax.set_to_zero(), frozen),
+                         optax.clip_by_global_norm(cfg.TRAIN.GRAD_CLIP), tx)
     return tx, schedule
 
 
@@ -364,11 +369,14 @@ class SolverWrapper:
             # each item carries the loader state AFTER generating it, so a
             # snapshot taken at step k resumes with batch k+1 exactly even
             # though the producer runs ahead (exact-resume contract)
-            for _ in range(n_needed):
-                if stop_flag.is_set():
-                    return
-                blobs = self.data_layer.forward()
-                batch_q.put((blobs, self.data_layer.get_state()))
+            try:
+                for _ in range(n_needed):
+                    if stop_flag.is_set():
+                        return
+                    blobs = self.data_layer.forward()
+                    batch_q.put((blobs, self.data_layer.get_state()))
+            except BaseException as e:  # surface in the consumer, don't hang
+                batch_q.put(e)
 
         producer = threading.Thread(target=_producer, daemon=True)
         producer.start()
@@ -386,7 +394,10 @@ class SolverWrapper:
                 print(f"wrote profiler trace to {cfg.TPU.PROFILE_DIR}")
 
             timer.tic()
-            blobs, self._layer_state_consumed = batch_q.get()
+            item = batch_q.get()
+            if isinstance(item, BaseException):
+                raise RuntimeError("data prefetch thread failed") from item
+            blobs, self._layer_state_consumed = item
             if self.mesh is not None:
                 from frcnn_tpu.parallel.mesh import shard_batch
 

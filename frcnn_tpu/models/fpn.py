@@ -334,8 +334,10 @@ class FasterRCNNFPN(nn.Module):
         if self.norm == "frozen_bn" and any(
                 p.startswith(("bn", "downsample_bn")) for p in s):
             return True
-        if self.norm != "frozen_bn":
-            return False
+        # FIXED_BLOCKS / conv1 freezing applies to GroupNorm variants too
+        # (only the norm-param freezing above is frozen-BN-specific); a
+        # from-scratch GN run should set RESNET.FIXED_BLOCKS=0, since
+        # freezing random early stages would pin garbage features.
         if s and s[0] == "stages":
             fixed = cfg.RESNET.FIXED_BLOCKS if cfg is not None else 1
             if any(p in ("conv1", "bn1") for p in s[1:2]):

@@ -159,8 +159,13 @@ def proposal_target_layer(rois, roi_valid, gt_boxes, gt_labels, gt_valid, key,
 
     fg = all_valid & (max_ov >= t.FG_THRESH)
     bg = all_valid & (max_ov < t.BG_THRESH_HI) & (max_ov >= t.BG_THRESH_LO)
-    # degenerate-image fallback (reference hits an assert; filter_roidb is
-    # supposed to prevent it): if neither fg nor bg exists, use valid rois
+    # DOCUMENTED DEVIATION (COVERAGE.md): degenerate-image fallback.  The
+    # reference asserts and crashes here (proposal_target_layer.py:~L60);
+    # a fixed-shape jitted graph cannot branch to an error, so if neither
+    # fg nor bg exists every valid roi becomes bg.  filter_roidb keeps
+    # well-formed data from ever hitting this; if it fires anyway the image
+    # contributes an all-bg roi-head loss (symptom of broken data or a
+    # dead RPN — check rpn_cross_entropy, not just total loss).
     none_found = ~jnp.any(fg | bg)
     bg = bg | (none_found & all_valid)
 

@@ -22,57 +22,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _whctrs(anchor):
-    w = anchor[2] - anchor[0] + 1.0
-    h = anchor[3] - anchor[1] + 1.0
-    x_ctr = anchor[0] + 0.5 * (w - 1.0)
-    y_ctr = anchor[1] + 0.5 * (h - 1.0)
-    return w, h, x_ctr, y_ctr
-
-
-def _mkanchors(ws, hs, x_ctr, y_ctr):
-    ws = ws[:, None]
-    hs = hs[:, None]
-    return np.hstack(
-        (
-            x_ctr - 0.5 * (ws - 1.0),
-            y_ctr - 0.5 * (hs - 1.0),
-            x_ctr + 0.5 * (ws - 1.0),
-            y_ctr + 0.5 * (hs - 1.0),
-        )
-    )
-
-
-def _ratio_enum(anchor, ratios):
-    """Enumerate aspect ratios: round(sqrt(area/ratio)) widths, Caffe rounding."""
-    w, h, x_ctr, y_ctr = _whctrs(anchor)
-    size = w * h
-    size_ratios = size / ratios
-    ws = np.round(np.sqrt(size_ratios))
-    hs = np.round(ws * ratios)
-    return _mkanchors(ws, hs, x_ctr, y_ctr)
-
-
-def _scale_enum(anchor, scales):
-    w, h, x_ctr, y_ctr = _whctrs(anchor)
-    ws = w * scales
-    hs = h * scales
-    return _mkanchors(ws, hs, x_ctr, y_ctr)
-
-
 def generate_anchors(base_size=16, ratios=(0.5, 1.0, 2.0), scales=(8.0, 16.0, 32.0)):
-    """The 9 (or len(ratios)*len(scales)) base anchors around a base_size box.
+    """The len(ratios)*len(scales) base anchors around a base_size box.
 
-    Returns a float32 numpy array of shape (A, 4); this is pure host-side
-    constant computation (it happens once per model build, never in-graph).
+    One vectorized enumeration (the lineage chains four tiny helpers; the
+    math is identical and pinned bit-exact by the value-table test in
+    tests/test_geometry.py):
+
+      * start from the inclusive base box [0, 0, s-1, s-1], center c,
+        area s^2;
+      * per ratio r: width = round(sqrt(s^2 / r)), height = round(width * r)
+        — the two Caffe roundings that make e.g. the 16px ratio-0.5 anchor
+        23x12, not 22.6x11.3;
+      * per scale k: multiply that (width, height) by k around the SAME
+        center c (no re-rounding);
+      * row order is ratio-major: row = r_idx * len(scales) + s_idx.
+
+    Returns float32 (A, 4); pure host-side constant computation (once per
+    model build, never in-graph).
     """
     ratios = np.asarray(ratios, dtype=np.float64)
     scales = np.asarray(scales, dtype=np.float64)
-    base_anchor = np.array([0.0, 0.0, base_size - 1.0, base_size - 1.0])
-    ratio_anchors = _ratio_enum(base_anchor, ratios)
-    anchors = np.vstack(
-        [_scale_enum(ratio_anchors[i, :], scales) for i in range(ratio_anchors.shape[0])]
-    )
+    center = (base_size - 1.0) / 2.0
+    ratio_w = np.round(np.sqrt(base_size * base_size / ratios))   # (R,)
+    ratio_h = np.round(ratio_w * ratios)                          # (R,)
+    w = (ratio_w[:, None] * scales[None, :]).reshape(-1)          # (R*S,)
+    h = (ratio_h[:, None] * scales[None, :]).reshape(-1)
+    anchors = np.stack([center - 0.5 * (w - 1.0), center - 0.5 * (h - 1.0),
+                        center + 0.5 * (w - 1.0), center + 0.5 * (h - 1.0)],
+                       axis=1)
     return anchors.astype(np.float32)
 
 

@@ -201,3 +201,61 @@ def test_coco_eval_crowd_ignore():
     ev.accumulate()
     stats = ev.summarize(verbose=False)
     assert stats["AP"] > 0.99  # crowd-matched det ignored, not a false positive
+
+
+# ---------------------------------------------------------------------------
+# bucket selection (portrait handling + mixed-orientation batches)
+# ---------------------------------------------------------------------------
+
+
+def test_portrait_and_landscape_keep_full_scale():
+    """Reference prep_im_for_blob scales shorter side to 600 regardless of
+    orientation (lib/utils/blob.py:~L20-L40); with the default two-orientation
+    BUCKETS neither a 500x375 nor a 375x500 image may silently shrink."""
+    from frcnn_tpu.data.loader import pick_scale_and_bucket
+
+    cfg = default_config()
+    for h, w in ((375, 500), (500, 375)):
+        scale, bucket = pick_scale_and_bucket(
+            h, w, cfg.TRAIN.SCALES[0], cfg.TRAIN.MAX_SIZE, cfg.TPU.BUCKETS)
+        assert abs(min(h, w) * scale - 600) < 1.0, (h, w, scale)
+        assert bucket in cfg.TPU.BUCKETS
+        # the chosen bucket matches the image orientation
+        assert (bucket[0] >= bucket[1]) == (h >= w)
+
+
+def test_snap_to_bucket():
+    from frcnn_tpu.data.loader import snap_to_bucket
+
+    buckets = ((608, 1024), (1024, 608))
+    assert snap_to_bucket([(608, 1024)], buckets) == (608, 1024)
+    assert snap_to_bucket([(1024, 608)], buckets) == (1024, 608)
+    assert snap_to_bucket([(300, 500), (400, 200)], buckets) == (608, 1024)
+    # mixed orientations: no single bucket covers -> union bucket
+    assert snap_to_bucket([(608, 1024), (1024, 608)], buckets) == (1024, 1024)
+
+
+def test_minibatch_mixed_orientation(tmp_path):
+    """A batch mixing portrait and landscape images must stack (round-1 bug:
+    lexicographic-max bucket -> np broadcast error)."""
+    import cv2
+    from frcnn_tpu.data.loader import get_minibatch
+
+    paths = []
+    for name, (h, w) in (("land", (240, 400)), ("port", (400, 240))):
+        p = str(tmp_path / f"{name}.jpg")
+        cv2.imwrite(p, np.random.RandomState(0).randint(
+            0, 255, (h, w, 3), np.uint8))
+        paths.append(p)
+    roidb = [{"image": p, "boxes": np.array([[10, 10, 60, 60]], np.float32),
+              "gt_classes": np.array([1]), "flipped": False} for p in paths]
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, TPU=dataclasses.replace(cfg.TPU, BUCKETS=((256, 448), (448, 256)),
+                                     MAX_GT=4),
+        TRAIN=dataclasses.replace(cfg.TRAIN, SCALES=(240,), MAX_SIZE=420,
+                                  IMS_PER_BATCH=2))
+    blobs = get_minibatch(roidb, cfg)
+    assert blobs["data"].shape == (2, 448, 448, 3)  # union bucket
+    # both images keep their full resize scale (no shrink-to-fit)
+    assert np.allclose(blobs["im_info"][:, 2], 1.0)
