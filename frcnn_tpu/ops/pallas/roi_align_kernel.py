@@ -153,15 +153,18 @@ def _chan_block(c: int) -> int:
     return cb
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def roi_align_pallas(feat, rois, output_size: int = 7,
-                     spatial_scale: float = 1.0 / 16.0, sampling_ratio: int = 2):
+                     spatial_scale: float = 1.0 / 16.0, sampling_ratio: int = 2,
+                     interpret: bool = False):
     """RoIAlign: feat (H, W, C), rois (R, 4) → (R, p, p, C).  Same semantics
-    as ops.roi_align.roi_align."""
-    return _fwd(feat, rois, output_size, spatial_scale, sampling_ratio)
+    as ops.roi_align.roi_align.  interpret=True runs the Pallas interpreter
+    (CPU CI of the kernel logic; compiled path is TPU-only)."""
+    return _fwd(feat, rois, output_size, spatial_scale, sampling_ratio,
+                interpret)
 
 
-def _fwd(feat, rois, p, scale, sr):
+def _fwd(feat, rois, p, scale, sr, interpret=False):
     h, w, c = feat.shape
     rois_p, r_orig = _pad_rois(rois)
     rt = rois_p.shape[0] // ROI_TILE
@@ -183,18 +186,19 @@ def _fwd(feat, rois, p, scale, sr):
         scratch_shapes=[pltpu.VMEM((w, h * cbl), feat.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(rois_p, feat[None])
     return out[:r_orig]
 
 
-def _fwd_rule(feat, rois, p, scale, sr):
+def _fwd_rule(feat, rois, p, scale, sr, interpret=False):
     # zero-size array carries feat's shape/dtype as a residual (static
     # metadata is not a valid jax residual type)
     shape_token = jnp.zeros((0,) + feat.shape, feat.dtype)
-    return _fwd(feat, rois, p, scale, sr), (shape_token, rois)
+    return _fwd(feat, rois, p, scale, sr, interpret), (shape_token, rois)
 
 
-def _bwd_rule(p, scale, sr, res, g):
+def _bwd_rule(p, scale, sr, interpret, res, g):
     shape_token, rois = res
     h, w, c = shape_token.shape[1:]
     dtype = shape_token.dtype
@@ -219,6 +223,7 @@ def _bwd_rule(p, scale, sr, res, g):
         out_shape=jax.ShapeDtypeStruct((1, h, w, c), dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
     )(rois_p, g)
     return dfeat[0], jnp.zeros_like(rois)
 

@@ -84,6 +84,53 @@ def convert_vgg16(state_dict):
     return {"trunk": trunk, "tail": tail}
 
 
+def convert_detector(state_dict, net: str, num_anchors: int = 9):
+    """Full reference-detector snapshot → complete FasterRCNN params tree.
+
+    Converts the head weights the backbone converters skip (reference
+    ``lib/nets/network.py`` modules, names as the lineage saves them):
+
+      * ``rpn_net``        3x3x512 conv → HWIO;
+      * ``rpn_cls_score``  1x1 conv, 2A channels.  The reference orders the
+        2A channels bg-block-then-fg-block (c = j*A + a: its softmax reshapes
+        (1, 2A, H, W) → (1, 2, A*H, W), ``network.py:~_reshape_layer``); we
+        order per-anchor pairs (c = a*2 + j: one reshape to (K, 2)).  The
+        output channels (and bias) are permuted accordingly;
+      * ``rpn_bbox_pred``  1x1 conv, 4A channels — both sides agree on
+        anchor-major (a, 4) order, no permutation;
+      * ``cls_score`` / ``bbox_pred`` linears → transposed kernels.  The
+        resnet tail mean-pools (no flatten), so no column permutation
+        (VGG fc6 is the only flatten-order case, handled in convert_vgg16).
+    """
+    a = num_anchors
+    if net == "vgg16":
+        backbone = convert_vgg16(state_dict)
+    elif net.startswith("res"):
+        backbone = convert_resnet(state_dict, int(net[3:]))
+    else:
+        raise ValueError(f"no converter for backbone {net}")
+
+    # reference fg/bg-block channel c = j*A + a → our per-anchor c = a*2 + j
+    perm = np.array([j * a + i for i in range(a) for j in range(2)])
+    cls_w = _t_conv(state_dict["rpn_cls_score.weight"])
+    params = {
+        "backbone": backbone,
+        "rpn_net": {"kernel": _t_conv(state_dict["rpn_net.weight"]),
+                    "bias": np.asarray(state_dict["rpn_net.bias"])},
+        "rpn_cls_score": {
+            "kernel": cls_w[..., perm],
+            "bias": np.asarray(state_dict["rpn_cls_score.bias"])[perm]},
+        "rpn_bbox_pred": {
+            "kernel": _t_conv(state_dict["rpn_bbox_pred.weight"]),
+            "bias": np.asarray(state_dict["rpn_bbox_pred.bias"])},
+        "cls_score": {"kernel": _t_dense(state_dict["cls_score.weight"]),
+                      "bias": np.asarray(state_dict["cls_score.bias"])},
+        "bbox_pred": {"kernel": _t_dense(state_dict["bbox_pred.weight"]),
+                      "bias": np.asarray(state_dict["bbox_pred.bias"])},
+    }
+    return params
+
+
 def load_pretrained(path: str, net: str):
     """Load a torch .pth (or numpy .npz) backbone checkpoint → params subtree
     shaped for merging under 'backbone'."""

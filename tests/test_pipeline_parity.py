@@ -1,0 +1,168 @@
+"""End-to-end detection parity: one set of random reference-layout torch
+weights through BOTH stacks — the torch/numpy reference-semantics pipeline
+(tests/ref_pipeline.py, transcribing ``lib/model/test.py:~L100-L250``) and
+the fixed-shape frcnn_tpu ``detect`` graph with weights grafted via
+``convert_detector`` — must produce the same detections.
+
+This is the test that catches convention drift (RPN channel order, delta
+un-normalization order, NMS semantics, score thresholds, rescale-to-original
+coords) that per-op oracle tests cannot: each op can be individually right
+while the composition disagrees.  Images include a portrait one (VERDICT
+round-1 missing #1/#2).  Images are sized to fill their buckets exactly so
+zero-padding edge effects (a documented fixed-shape deviation) don't mix
+into the convention check.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from frcnn_tpu.config import default_config  # noqa: E402
+from frcnn_tpu.models import build_model  # noqa: E402
+from frcnn_tpu.utils.weight_convert import convert_detector  # noqa: E402
+from tests.ref_pipeline import ref_im_detect, ref_postprocess  # noqa: E402
+from tests.test_weight_convert import (_bottleneck_t, _rand,  # noqa: E402
+                                       _resnet50_state_dict, _resnet50_trunk_t)
+
+pytestmark = pytest.mark.slow
+
+NUM_CLASSES = 5
+A = 9
+
+
+def _tail_t(x, sd):
+    for bi in range(3):
+        x = _bottleneck_t(x, sd, f"layer4.{bi}", 2 if bi == 0 else 1)
+    return x.mean(dim=(2, 3))
+
+
+def _detector_state_dict(rng):
+    sd = _resnet50_state_dict(rng)
+    torch.manual_seed(7)
+    sd["rpn_net.weight"] = _rand(512, 1024, 3, 3) * 0.3
+    sd["rpn_net.bias"] = _rand(512)
+    sd["rpn_cls_score.weight"] = _rand(2 * A, 512, 1, 1)
+    sd["rpn_cls_score.bias"] = _rand(2 * A)
+    sd["rpn_bbox_pred.weight"] = _rand(4 * A, 512, 1, 1) * 0.1
+    sd["rpn_bbox_pred.bias"] = _rand(4 * A) * 0.1
+    sd["cls_score.weight"] = _rand(NUM_CLASSES, 2048)
+    sd["cls_score.bias"] = _rand(NUM_CLASSES)
+    sd["bbox_pred.weight"] = _rand(4 * NUM_CLASSES, 2048) * 0.1
+    sd["bbox_pred.bias"] = _rand(4 * NUM_CLASSES) * 0.1
+    return sd
+
+
+def _parity_cfg():
+    cfg = default_config()
+    return dataclasses.replace(
+        cfg,
+        TEST=dataclasses.replace(cfg.TEST, SCALES=(224,), MAX_SIZE=304,
+                                 RPN_PRE_NMS_TOP_N=1000,
+                                 RPN_POST_NMS_TOP_N=64),
+        TPU=dataclasses.replace(cfg.TPU, BUCKETS=((224, 304), (304, 224))))
+
+
+def _images():
+    """Landscape, portrait, and a 2x-downscale landscape — each resizes to
+    exactly fill its bucket (no padding)."""
+    import cv2
+
+    rng = np.random.RandomState(11)
+    ims = []
+    for h, w in ((224, 304), (304, 224), (448, 608)):
+        # low-frequency noise everywhere: a flat background saturates the
+        # random-weight heads into thousands of EXACTLY tied scores, and
+        # tie-breaking (not conventions) then decides the keep sets
+        base = rng.randint(0, 255, (h // 16, w // 16, 3)).astype(np.uint8)
+        im = cv2.resize(base, (w, h), interpolation=cv2.INTER_LINEAR)
+        for _ in range(6):
+            y, x = rng.randint(0, h - 40), rng.randint(0, w - 40)
+            bh, bw = rng.randint(20, 40, 2)
+            im[y:y + bh, x:x + bw] = rng.randint(0, 255, 3)
+        ims.append(im)
+    return ims
+
+
+def _ours_per_class(model, variables, im, cfg, max_per_image):
+    from frcnn_tpu.engine.test import _prep
+
+    blob, info = _prep(im, cfg)
+    dets, valid = model.apply(variables, blob[None], info[None],
+                              method="detect", max_per_image=max_per_image)
+    d = np.asarray(dets[0])[np.asarray(valid[0])]
+    return [d[d[:, 5] == j][:, :5] for j in range(NUM_CLASSES)]
+
+
+@pytest.fixture(scope="module")
+def parity_setup(rng_module=None):
+    rng = np.random.RandomState(0)
+    sd = _detector_state_dict(rng)
+    cfg = _parity_cfg()
+    model = build_model("res50", NUM_CLASSES, cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 224, 304, 3)),
+                           jnp.array([[224.0, 304.0, 1.0]]))
+    converted = convert_detector({k: v.numpy() for k, v in sd.items()},
+                                 "res50", num_anchors=A)
+    init_params = dict(variables["params"])
+    assert set(converted.keys()) == set(init_params.keys())
+    return sd, cfg, model, {"params": converted}
+
+
+def _assert_det_sets_match(want, got, label, score_atol=1e-3, box_atol=5e-2):
+    """One-to-one match of detection rows (x1,y1,x2,y2,score) up to
+    tolerance.  Order-insensitive: near-tied scores legitimately sort
+    differently across the two stacks (flat synthetic backgrounds produce
+    many near-identical rois)."""
+    assert len(want) == len(got), (
+        f"{label}: oracle kept {len(want)}, ours kept {len(got)}")
+    used = np.zeros(len(got), bool)
+    for row in want:
+        d_score = np.abs(got[:, 4] - row[4])
+        d_box = np.abs(got[:, :4] - row[:4]).max(axis=1)
+        cand = np.where(~used & (d_score <= score_atol)
+                        & (d_box <= box_atol))[0]
+        assert len(cand), f"{label}: no match for oracle det {row}"
+        used[cand[0]] = True
+
+
+@pytest.mark.parametrize("img_idx", [0, 1, 2])
+def test_full_pipeline_detection_parity(parity_setup, img_idx):
+    sd, cfg, model, variables = parity_setup
+    im = _images()[img_idx]
+
+    scores, boxes = ref_im_detect(sd, _resnet50_trunk_t, _tail_t, im, cfg,
+                                  NUM_CLASSES, num_anchors=A)
+    want = ref_postprocess(scores, boxes, NUM_CLASSES, cfg)
+
+    # max_per_image >= C*post_nms captures every survivor (no global cap)
+    got = _ours_per_class(model, variables, im, cfg,
+                          max_per_image=NUM_CLASSES * 64)
+
+    total = sum(len(w) for w in want)
+    assert total > 3, f"oracle produced too few detections ({total}) to test"
+    for j in range(1, NUM_CLASSES):
+        _assert_det_sets_match(want[j], got[j], f"image {img_idx} class {j}")
+
+
+def test_global_cap_parity(parity_setup):
+    """The max_per_image cap keeps the same top detections in both stacks."""
+    sd, cfg, model, variables = parity_setup
+    im = _images()[0]
+    scores, boxes = ref_im_detect(sd, _resnet50_trunk_t, _tail_t, im, cfg,
+                                  NUM_CLASSES, num_anchors=A)
+    want = ref_postprocess(scores, boxes, NUM_CLASSES, cfg, max_per_image=10)
+    got = _ours_per_class(model, variables, im, cfg, max_per_image=10)
+    w_all = np.concatenate([w for w in want if len(w)])
+    g_all = np.concatenate([g for g in got if len(g)])
+    assert len(g_all) == 10
+    # the reference keeps >= thresh (can exceed the cap on exact ties);
+    # both must agree on the top-10 set
+    w_all = w_all[np.argsort(-w_all[:, 4])][:10]
+    _assert_det_sets_match(w_all, g_all, "global cap")
