@@ -329,6 +329,20 @@ class SolverWrapper:
         print(f"Restored from {pkl_path} (iter {meta['iter']})")
         return meta["iter"]
 
+    def _gt_overlay(self, blobs):
+        """First image of the batch with its gt boxes drawn (uint8 RGB), for
+        the tensorboard image summary the reference emits every
+        SUMMARY_INTERVAL."""
+        from frcnn_tpu.utils.visualization import draw_bounding_boxes
+
+        im = np.asarray(blobs["data"][0])[:, :, ::-1]  # BGR raw → RGB
+        im = np.clip(im, 0, 255).astype(np.uint8)
+        v = np.asarray(blobs["gt_valid"][0])
+        names = list(getattr(self.imdb, "classes", [])) or None
+        return draw_bounding_boxes(
+            im, np.asarray(blobs["gt_boxes"][0])[v],
+            labels=np.asarray(blobs["gt_labels"][0])[v], class_names=names)
+
     # -- loop -----------------------------------------------------------------
     def train_model(self, max_iters: int):
         cfg = self.cfg
@@ -428,24 +442,32 @@ class SolverWrapper:
                 timer.toc()
             if step % cfg.TRAIN.SNAPSHOT_ITERS == 0:
                 self.snapshot(step)
-            if (self.data_layer_val is not None
+            if ((self.data_layer_val is not None or writer is not None)
                     and time.time() - last_summary > cfg.TRAIN.SUMMARY_INTERVAL):
-                # validation summary (reference train_step_with_summary)
-                vblobs = self.data_layer_val.forward()
-                if self.mesh is not None:
-                    from frcnn_tpu.parallel.mesh import shard_batch
-
-                    vblobs = shard_batch(vblobs, self.mesh)
-                _, vloss = self._eval_step(
-                    self.state, vblobs["data"], vblobs["im_info"],
-                    vblobs["gt_boxes"], vblobs["gt_labels"], vblobs["gt_valid"],
-                    jax.random.fold_in(self.base_key, 10**9 + step))
-                vloss = jax.tree.map(float, vloss)
+                # summaries (reference train_step_with_summary): val losses +
+                # a ground-truth overlay image (reference network.py
+                # _add_gt_image_summary / utils/visualization.py)
                 if writer is not None:
-                    writer.scalars({f"val/{k}": v for k, v in vloss.items()}, step)
-                log_f.write(json.dumps(
-                    {"iter": step, **{f"val_{k}": v for k, v in vloss.items()}})
-                    + "\n")
+                    writer.image("ground_truth",
+                                 self._gt_overlay(blobs), step)
+                if self.data_layer_val is not None:
+                    vblobs = self.data_layer_val.forward()
+                    if self.mesh is not None:
+                        from frcnn_tpu.parallel.mesh import shard_batch
+
+                        vblobs = shard_batch(vblobs, self.mesh)
+                    _, vloss = self._eval_step(
+                        self.state, vblobs["data"], vblobs["im_info"],
+                        vblobs["gt_boxes"], vblobs["gt_labels"],
+                        vblobs["gt_valid"],
+                        jax.random.fold_in(self.base_key, 10**9 + step))
+                    vloss = jax.tree.map(float, vloss)
+                    if writer is not None:
+                        writer.scalars(
+                            {f"val/{k}": v for k, v in vloss.items()}, step)
+                    log_f.write(json.dumps(
+                        {"iter": step,
+                         **{f"val_{k}": v for k, v in vloss.items()}}) + "\n")
                 last_summary = time.time()
         if profiling:
             jax.profiler.stop_trace()

@@ -98,3 +98,59 @@ def random_boxes(rng, n, width=800, height=600, min_size=2.0):
     x2 = np.minimum(x1 + w, width - 1)
     y2 = np.minimum(y1 + h, height - 1)
     return np.stack([x1, y1, x2, y2], axis=1).astype(np.float32)
+
+
+COCO_CATS = [{"id": 1, "name": "dog"}, {"id": 5, "name": "cat"},
+             {"id": 9, "name": "car"}]  # non-contiguous ids like real COCO
+
+
+@pytest.fixture(scope="session")
+def coco_root(tmp_path_factory):
+    """Synthetic COCO train2014: 6 images, 3 categories, instances json."""
+    import json
+    import os.path as osp
+
+    import cv2
+
+    root = str(tmp_path_factory.mktemp("coco_data"))
+    img_dir = osp.join(root, "images", "train2014")
+    ann_dir = osp.join(root, "annotations")
+    os.makedirs(img_dir)
+    os.makedirs(ann_dir)
+
+    rng = np.random.RandomState(7)
+    images, anns = [], []
+    aid = 1
+    for i in range(6):
+        h, w = int(rng.choice([240, 320])), int(rng.choice([320, 400]))
+        im = rng.randint(0, 255, (h, w, 3)).astype(np.uint8)
+        fname = f"COCO_train2014_{i:012d}.jpg"
+        for _ in range(rng.randint(1, 4)):
+            x = int(rng.randint(0, w - 60))
+            y = int(rng.randint(0, h - 60))
+            bw, bh = int(rng.randint(30, 59)), int(rng.randint(30, 59))
+            im[y:y + bh, x:x + bw] = rng.randint(0, 255, 3)
+            cat = COCO_CATS[rng.randint(0, 3)]
+            anns.append({"id": aid, "image_id": i, "category_id": cat["id"],
+                         "bbox": [x, y, bw, bh], "area": bw * bh,
+                         "iscrowd": 0})
+            aid += 1
+        cv2.imwrite(osp.join(img_dir, fname), im)
+        images.append({"id": i, "file_name": fname, "width": w, "height": h})
+    with open(osp.join(ann_dir, "instances_train2014.json"), "w") as f:
+        json.dump({"images": images, "annotations": anns,
+                   "categories": COCO_CATS}, f)
+    return root
+
+
+def make_coco(coco_root):
+    """coco imdb over the synthetic dataset with redirected cache."""
+    import os.path as osp
+
+    from frcnn_tpu.data.coco import coco
+
+    ds = coco("train", "2014", data_path=coco_root)
+    cache = osp.join(coco_root, "cache")
+    os.makedirs(cache, exist_ok=True)
+    type(ds).cache_path = property(lambda self, c=cache: c)
+    return ds

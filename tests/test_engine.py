@@ -23,7 +23,7 @@ def tiny_cfg(root):
             BATCH_SIZE=32, RPN_BATCHSIZE=64, RPN_PRE_NMS_TOP_N=512,
             RPN_POST_NMS_TOP_N=64, SNAPSHOT_ITERS=4, DISPLAY=2,
             STEPSIZE=(6,), LEARNING_RATE=0.01, SNAPSHOT_KEPT=2,
-            USE_FLIPPED=False),
+            USE_FLIPPED=False, SUMMARY_INTERVAL=0),
         TEST=dataclasses.replace(
             cfg.TEST, SCALES=(160,), MAX_SIZE=320, RPN_PRE_NMS_TOP_N=256,
             RPN_POST_NMS_TOP_N=32, MAX_PER_IMAGE=10, SCORE_THRESH=0.01),
@@ -46,10 +46,12 @@ def trained(voc_root, tmp_path_factory):
     roidb = get_training_roidb(ds, cfg)
     out_dir = str(tmp_path_factory.mktemp("train_out"))
     model = build_model("mobile", ds.num_classes, cfg)
-    state = train_net(model, ds, roidb, None, out_dir, cfg=cfg, max_iters=8)
+    state = train_net(model, ds, roidb, None, out_dir,
+                      tb_dir=osp.join(out_dir, "tb"), cfg=cfg, max_iters=8)
     return model, state, out_dir, cfg
 
 
+@pytest.mark.slow
 def test_training_reduces_loss(trained, voc_root):
     _, _, out_dir, _ = trained
     lines = [eval(line.replace("true", "True")) for line in
@@ -60,6 +62,7 @@ def test_training_reduces_loss(trained, voc_root):
     assert np.isfinite(lines[-1]["total_loss"])
 
 
+@pytest.mark.slow
 def test_snapshot_files_and_pruning(trained):
     _, _, out_dir, cfg = trained
     import glob
@@ -73,6 +76,7 @@ def test_snapshot_files_and_pruning(trained):
     assert "layer_state" in meta and "np_rng" in meta
 
 
+@pytest.mark.slow
 def test_resume_continues_from_snapshot(trained, voc_root, tmp_path):
     """find_previous + from_snapshot: training resumes at the saved iter and
     the restored params equal the snapshot exactly."""
@@ -101,6 +105,7 @@ def test_resume_continues_from_snapshot(trained, voc_root, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_test_net_end_to_end(trained, voc_root, tmp_path):
     """Full evaluation pipeline: batched jitted detect → detections.pkl →
     VOC mAP table (numbers are meaningless after 8 iters; the contract is
@@ -122,6 +127,7 @@ def test_test_net_end_to_end(trained, voc_root, tmp_path):
     assert len(all_boxes[0]) == ds.num_images
 
 
+@pytest.mark.slow
 def test_reval_from_detections(trained, voc_root, tmp_path):
     """tools/reval path: apply_nms (native C++ host op) over detections.pkl."""
     from frcnn_tpu.engine.test import apply_nms
@@ -179,3 +185,38 @@ def test_optimizer_masks():
             # 2x lr, no decay: update = -2 * lr * grad(=1)
             expect = 2 * cfg.TRAIN.LEARNING_RATE
             np.testing.assert_allclose(np.asarray(u), -expect, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_summaries_written(trained):
+    """SUMMARY_INTERVAL=0 + tb_dir: scalar summaries and the gt-overlay image
+    summary path run during training (reference train_step_with_summary)."""
+    import glob
+
+    _, _, out_dir, _ = trained
+    tb = osp.join(out_dir, "tb")
+    assert osp.isdir(tb)
+    events = glob.glob(osp.join(tb, "*.jsonl")) + glob.glob(
+        osp.join(tb, "events.out.tfevents.*"))
+    assert events, "no summary files written"
+
+
+def test_gt_overlay_image():
+    from frcnn_tpu.engine.train import SolverWrapper
+
+    sw = SolverWrapper.__new__(SolverWrapper)  # only _gt_overlay needed
+
+    class _Imdb:
+        classes = ["__background__", "a", "b"]
+
+    sw.imdb = _Imdb()
+    blobs = {
+        "data": np.full((2, 64, 96, 3), 128.0, np.float32),
+        "gt_boxes": np.array([[[10, 10, 50, 40], [0, 0, 0, 0]]], np.float32)
+        .repeat(2, axis=0),
+        "gt_labels": np.array([[1, 0]]).repeat(2, axis=0),
+        "gt_valid": np.array([[True, False]]).repeat(2, axis=0),
+    }
+    im = sw._gt_overlay(blobs)
+    assert im.shape == (64, 96, 3) and im.dtype == np.uint8
+    assert (im != 128).any(), "no box drawn"

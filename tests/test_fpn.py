@@ -11,6 +11,8 @@ import pytest
 from frcnn_tpu.config import default_config
 from frcnn_tpu.models import build_model
 
+pytestmark = pytest.mark.slow  # module fixture builds/compiles an FPN (~25 s)
+
 
 def fpn_cfg():
     cfg = default_config()

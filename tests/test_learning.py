@@ -37,6 +37,7 @@ def test_trunk_alive_at_init(net):
     assert spatial_std > 1e-6, f"{net} trunk output is spatially constant"
 
 
+@pytest.mark.slow
 def test_rpn_learns_fg_anchor():
     """300 overfit steps on one image: the RPN must assign high fg prob to
     the gt-overlapping anchor (catches label/score misalignment AND dead

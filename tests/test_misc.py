@@ -172,6 +172,7 @@ def test_draw_bounding_boxes():
     assert out.sum() > 0  # something was drawn
 
 
+@pytest.mark.slow
 def test_summary_writer(tmp_path):
     from frcnn_tpu.utils.summary import SummaryWriter
 

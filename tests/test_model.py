@@ -10,6 +10,8 @@ import pytest
 from frcnn_tpu.config import default_config
 from frcnn_tpu.models import build_model
 
+pytestmark = pytest.mark.slow  # module fixture compiles the full model (~14 s); smoke-tier coverage comes from the op-level tests
+
 
 def small_cfg():
     cfg = default_config()
@@ -62,6 +64,7 @@ def test_detect_shapes_and_validity(mobile_model):
     assert (np.diff(d[:, 4]) <= 1e-6).all()
 
 
+@pytest.mark.slow
 def test_train_forward_losses_and_grads(mobile_model):
     model, variables = mobile_model
     images = jax.random.uniform(jax.random.PRNGKey(1), (1, 320, 320, 3)) * 255

@@ -40,6 +40,7 @@ def test_mesh_shapes(mesh8):
     assert mesh8.axis_names == ("data",)
 
 
+@pytest.mark.slow
 def test_data_parallel_detect_matches_single(mesh8):
     """Sharded batched detect == unsharded detect (bitwise-ish)."""
     cfg = small_cfg()
@@ -60,6 +61,7 @@ def test_data_parallel_detect_matches_single(mesh8):
     np.testing.assert_array_equal(np.asarray(v_single), np.asarray(v_shard))
 
 
+@pytest.mark.slow
 def test_data_parallel_train_step_grad_allreduce(mesh8):
     """Sharded train step: grads reduce over the batch — updated params stay
     replicated and match the unsharded step on the same global batch."""
@@ -110,6 +112,7 @@ def test_data_parallel_train_step_grad_allreduce(mesh8):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_serving_detector(mesh8):
     """engine.serve.Detector over the mesh: list-of-images API + throughput
     helper (BASELINE config 5 shape, scaled down)."""

@@ -7,9 +7,12 @@ import dataclasses
 import os.path as osp
 
 import numpy as np
+import pytest
 import jax
 
 from frcnn_tpu.config import default_config
+
+pytestmark = pytest.mark.slow
 from tests.conftest import make_voc
 
 

@@ -8,6 +8,7 @@ part #2)."""
 import dataclasses
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -31,6 +32,7 @@ def _setup_anchor_case(rng, h=20, w=20, stride=8, n_gt=4):
     return anchors, gt, im_info
 
 
+@pytest.mark.slow
 def test_anchor_target_label_rules(rng):
     anchors, gt, im_info = _setup_anchor_case(rng)
     gv = np.ones(len(gt), bool)
@@ -106,6 +108,7 @@ def test_anchor_target_subsampling_randomness(rng):
     assert not np.array_equal(l1, l2)
 
 
+@pytest.mark.slow
 def test_proposal_target_sampling(rng):
     n_gt = 3
     gt = random_boxes(rng, n_gt, width=500, height=400, min_size=60)
@@ -158,6 +161,7 @@ def test_proposal_target_sampling(rng):
         np.testing.assert_array_equal(nz, [labels[i]])
 
 
+@pytest.mark.slow
 def test_proposal_target_gt_always_fg(rng):
     # gt boxes are appended to the roi set → with room in the quota every
     # valid gt becomes an fg roi (IoU 1 with itself)

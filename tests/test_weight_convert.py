@@ -143,6 +143,7 @@ def _vgg16_trunk_t(x, sd):
     return x
 
 
+@pytest.mark.slow
 def test_vgg16_conversion_parity(rng):
     sd = _vgg16_state_dict()
     converted = convert_vgg16({k: v.numpy() for k, v in sd.items()})
