@@ -17,6 +17,7 @@ import numpy as np
 
 from frcnn_tpu.config import Config
 from frcnn_tpu.data.loader import prep_im_for_blob
+from frcnn_tpu.models.backbones import pack_images
 
 
 class Detector:
@@ -58,6 +59,8 @@ class Detector:
     def detect_blobs(self, data, im_info):
         """Raw fixed-shape entry: data (B, bh, bw, 3), im_info (B, 3).
         B must be a multiple of the mesh size."""
+        if isinstance(data, np.ndarray):  # device arrays are already packed
+            data = pack_images(data, getattr(self.model, "input_block", 1))
         if self.mesh is not None:
             from frcnn_tpu.parallel.mesh import shard_batch
 

@@ -23,6 +23,7 @@ import numpy as np
 
 from frcnn_tpu.config import Config
 from frcnn_tpu.data.loader import prep_im_for_blob
+from frcnn_tpu.models.backbones import pack_images
 from frcnn_tpu.utils.timer import Timer
 
 
@@ -40,7 +41,8 @@ def im_detect(model, variables, im, cfg: Config | None = None):
     (scores (N, C), boxes (N, 4C) in ORIGINAL image coords, valid (N,))."""
     cfg = cfg or model.config
     blob, info = _prep(im, cfg)
-    out = model.apply(variables, blob[None], info[None], method="predict")
+    packed = pack_images(blob[None], getattr(model, "input_block", 1))
+    out = model.apply(variables, packed, info[None], method="predict")
     boxes = model.apply(variables, out, info[None], method="decode_detections")
     return (np.asarray(out["cls_prob"][0]), np.asarray(boxes[0]),
             np.asarray(out["roi_valid"][0]))
@@ -76,7 +78,8 @@ def test_net(model, variables, imdb, cfg: Config | None = None,
         infos = [f for _, _, f in items] + \
             [np.array([1.0, 1.0, 1.0], np.float32)] * pad
         _t["im_detect"].tic()
-        dets, valid = detect(variables, np.stack(blobs), np.stack(infos),
+        packed = pack_images(np.stack(blobs), getattr(model, "input_block", 1))
+        dets, valid = detect(variables, packed, np.stack(infos),
                              max_per_image=max_per_image)
         dets, valid = np.asarray(dets), np.asarray(valid)
         detect_time = _t["im_detect"].toc(average=False)

@@ -36,6 +36,7 @@ from flax.core import FrozenDict
 from frcnn_tpu.config import Config
 from frcnn_tpu.data.loader import RoIDataLayer
 from frcnn_tpu.data.roidb import prepare_roidb
+from frcnn_tpu.models.backbones import pack_images
 from frcnn_tpu.utils.timer import Timer
 
 
@@ -205,7 +206,9 @@ class SolverWrapper:
         cfg = self.cfg
         bh, bw = max(cfg.TPU.BUCKETS, key=lambda b: b[0] * b[1])
         b = cfg.TRAIN.IMS_PER_BATCH
-        dummy = (jnp.zeros((b, bh, bw, 3), jnp.float32),
+        self._input_block = getattr(self.model, "input_block", 1)
+        dummy = (pack_images(np.zeros((b, bh, bw, 3), np.float32),
+                             self._input_block),
                  jnp.tile(jnp.asarray([[bh, bw, 1.0]], jnp.float32), (b, 1)))
         key = jax.random.PRNGKey(cfg.RNG_SEED)
         variables = self.model.init(key, *dummy)
@@ -412,14 +415,19 @@ class SolverWrapper:
             if isinstance(item, BaseException):
                 raise RuntimeError("data prefetch thread failed") from item
             blobs, self._layer_state_consumed = item
+            # keep raw blobs for the gt-overlay summary; feed the device the
+            # host-packed layout the backbone prefers (pack_images is a free
+            # numpy view)
+            feed = {**blobs, "data": pack_images(blobs["data"],
+                                                 self._input_block)}
             if self.mesh is not None:
                 from frcnn_tpu.parallel.mesh import shard_batch
 
-                blobs = shard_batch(blobs, self.mesh)
+                feed = shard_batch(feed, self.mesh)
             key = jax.random.fold_in(self.base_key, step)
             self.state, losses = self._train_step(
-                self.state, blobs["data"], blobs["im_info"], blobs["gt_boxes"],
-                blobs["gt_labels"], blobs["gt_valid"], key)
+                self.state, feed["data"], feed["im_info"], feed["gt_boxes"],
+                feed["gt_labels"], feed["gt_valid"], key)
             step += 1
             if step % cfg.TRAIN.DISPLAY == 0:
                 losses = jax.tree.map(float, losses)
@@ -452,6 +460,9 @@ class SolverWrapper:
                                  self._gt_overlay(blobs), step)
                 if self.data_layer_val is not None:
                     vblobs = self.data_layer_val.forward()
+                    vblobs = {**vblobs,
+                              "data": pack_images(vblobs["data"],
+                                                  self._input_block)}
                     if self.mesh is not None:
                         from frcnn_tpu.parallel.mesh import shard_batch
 

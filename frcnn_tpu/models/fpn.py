@@ -43,15 +43,21 @@ class _ResNetStages(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        from frcnn_tpu.models.backbones import make_norm
+        from frcnn_tpu.models.backbones import (FrozenBatchNorm, _StemConv,
+                                                make_norm)
 
         blocks = _RESNET_DEPTHS[self.depth]
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, kernel_init=conv_init,
-                    name="conv1")(x)
-        x = make_norm(self.norm, self.dtype)(name="bn1")(x)
-        x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.norm == "frozen_bn":
+            # fully fused space-to-depth stem (conv+bn+relu+pool, see
+            # backbones._StemConv) — the BN affine pre-folds into the conv
+            mul, add = FrozenBatchNorm(dtype=self.dtype, name="bn1")(channels=64)
+            x = _StemConv(features=64, dtype=self.dtype, name="conv1")(x, mul, add)
+        else:
+            # GroupNorm is data-dependent → s2d conv only, then norm+relu+pool
+            x = _StemConv(features=64, dtype=self.dtype, name="conv1")(x)
+            x = make_norm(self.norm, self.dtype)(name="bn1")(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         outs = []
         for li, (n, ch, stride) in enumerate(
                 zip(blocks, (64, 128, 256, 512), (1, 2, 2, 2)), start=1):
@@ -146,10 +152,16 @@ class FasterRCNNFPN(nn.Module):
                                   name="bbox_pred")
 
     # -- stages ---------------------------------------------------------------
+    @property
+    def input_block(self) -> int:
+        """Host-packing factor (see backbones.pack_images); the GroupNorm
+        variant keeps the plain layout (its stem norm is data-dependent)."""
+        return 4 if self.norm == "frozen_bn" else 1
+
     def _preprocess(self, images):
-        means = jnp.asarray(self.config.PIXEL_MEANS, jnp.float32)
-        x = (images.astype(jnp.float32) - means) * self.config.TPU.PIXEL_SCALE
-        return x.astype(self.dtype)
+        from frcnn_tpu.models.backbones import preprocess_images
+
+        return preprocess_images(images, self.config, self.dtype)
 
     def _pyramid(self, images):
         return self.neck(self.stages(self._preprocess(images)))  # P2..P6

@@ -131,13 +131,19 @@ class FasterRCNN(nn.Module):
 
     # -- stages -------------------------------------------------------------
 
+    @property
+    def input_block(self) -> int:
+        """Host-packing factor the backbone prefers (see backbones.pack_images)."""
+        return getattr(self.backbone, "input_block", 1)
+
     def _preprocess(self, images):
         """Mean-subtract in-graph (reference does it on host in blob prep;
         BASELINE.json wants preprocessing fused into the XLA graph).
-        images: (B, H, W, 3) float or uint8, BGR (Caffe convention)."""
-        means = jnp.asarray(self.config.PIXEL_MEANS, jnp.float32)
-        x = (images.astype(jnp.float32) - means) * self.config.TPU.PIXEL_SCALE
-        return x.astype(self.dtype)
+        images: (B, H, W, 3) BGR (Caffe convention), or the host-blocked
+        (B, H, W/4, 12) layout from backbones.pack_images."""
+        from frcnn_tpu.models.backbones import preprocess_images
+
+        return preprocess_images(images, self.config, self.dtype)
 
     def _rpn(self, feat):
         """RPN conv head → (cls_logits (B,K,2), fg_prob (B,K), deltas (B,K,4))
