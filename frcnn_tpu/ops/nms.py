@@ -166,7 +166,10 @@ def nms_fixed_batched(boxes, scores, thresh, max_out: int, valid=None,
     if use_pallas and n >= 128 and jax.default_backend() == "tpu":
         from frcnn_tpu.ops.pallas.nms_kernel import nms_mask_pallas_batched
 
-        keep = nms_mask_pallas_batched(sboxes, thresh, svalid)
+        # the rank-sort below keeps only the first max_out kept entries, so
+        # the kernel may stop early once every problem has max_out kept
+        keep = nms_mask_pallas_batched(sboxes, thresh, svalid,
+                                       max_keep=max_out)
     else:
         keep = jax.vmap(lambda bx, v: nms_mask(bx, thresh, v))(sboxes, svalid)
 

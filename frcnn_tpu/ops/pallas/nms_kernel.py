@@ -162,72 +162,96 @@ def nms_mask_pallas(boxes, thresh, valid=None, interpret: bool = False):
 B_BLOCK = 8
 
 
-def _nms_kernel_b(coords_ref, valid_ref, keep_ref, sup_ref, *, thresh, n, chunk):
+def _nms_kernel_b(coords_ref, valid_ref, keep_ref, sup_ref, m_ref, cnt_ref, *,
+                  thresh, n, chunk, cap):
     ti = pl.program_id(1)
+    bb = B_BLOCK
 
     @pl.when(ti == 0)
     def _():
         sup_ref[:, :] = 1 - valid_ref[:, :]
+        cnt_ref[:, :] = jnp.zeros_like(cnt_ref[:, :])
 
-    start = pl.multiple_of(ti * TILE, TILE)
-    bb = B_BLOCK
-    # tile coordinates (BB, T) — block layout is (BB, 4, N)
-    xt1 = coords_ref[:, 0, pl.ds(start, TILE)]
-    yt1 = coords_ref[:, 1, pl.ds(start, TILE)]
-    xt2 = coords_ref[:, 2, pl.ds(start, TILE)]
-    yt2 = coords_ref[:, 3, pl.ds(start, TILE)]
+    # Early-exit cap: callers (nms_fixed_batched) keep only the first
+    # ``cap`` kept boxes per problem.  Boxes are score-ordered, so once every
+    # problem in the block has ``cap`` kept, later tiles cannot change the
+    # first ``cap`` kept entries of any problem — skip their work entirely
+    # and emit keep=0 (suppressing nothing also leaves later keep bits 0/1
+    # undefined only BEYOND the cap, which the rank-sort in the caller
+    # drops).  For the 6k-box proposal problem this skips ~80% of tiles.
+    done = jnp.min(cnt_ref[:, 0]) >= cap
 
-    def col(v):  # (BB, T) → (BB, T, 1)
-        return v.reshape(bb, TILE, 1)
+    @pl.when(done)
+    def _():
+        keep_ref[:, :] = jnp.zeros_like(keep_ref[:, :])
 
-    def row(v):  # (BB, T) → (BB, 1, T)
-        return v.reshape(bb, 1, TILE)
+    @pl.when(jnp.logical_not(done))
+    def _():
+        start = pl.multiple_of(ti * TILE, TILE)
+        # tile coordinates (BB, T) — block layout is (BB, 4, N)
+        xt1 = coords_ref[:, 0, pl.ds(start, TILE)]
+        yt1 = coords_ref[:, 1, pl.ds(start, TILE)]
+        xt2 = coords_ref[:, 2, pl.ds(start, TILE)]
+        yt2 = coords_ref[:, 3, pl.ds(start, TILE)]
 
-    masked = _iou_mask(col(xt1), col(yt1), col(xt2), col(yt2),
-                       row(xt1), row(yt1), row(xt2), row(yt2), thresh)
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (bb, TILE, TILE), 1)
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (bb, TILE), 1)
+        def col(v):  # (BB, T) → (BB, T, 1)
+            return v.reshape(bb, TILE, 1)
 
-    sup_t = sup_ref[:, pl.ds(start, TILE)]  # (BB, T) i32
+        def row(v):  # (BB, T) → (BB, 1, T)
+            return v.reshape(bb, 1, TILE)
 
-    def intra(i, sup_t):
-        alive = jnp.max(jnp.where(t_idx == i, sup_t, 0), axis=1,
-                        keepdims=True) == 0                      # (BB, 1)
-        rowi = jnp.any(masked & (row_idx == i), axis=1)          # (BB, T)
-        new = (alive & rowi & (t_idx > i)).astype(jnp.int32)
-        return jnp.maximum(sup_t, new)
+        masked = _iou_mask(col(xt1), col(yt1), col(xt2), col(yt2),
+                           row(xt1), row(yt1), row(xt2), row(yt2), thresh)
+        t_idx = jax.lax.broadcasted_iota(jnp.int32, (bb, TILE), 1)
+        # park the (BB, T, T) pair matrix in VMEM: the intra walk then loads
+        # one (BB, 1, T) row per step instead of reducing the full matrix
+        # (was ~128 vregs of select+any per step; now one strided load)
+        m_ref[:, :, :] = masked.astype(jnp.int32)
 
-    sup_t = jax.lax.fori_loop(0, TILE, intra, sup_t)
-    kept = 1 - sup_t
-    sup_ref[:, pl.ds(start, TILE)] = sup_t
-    keep_ref[:, :] = kept
+        sup_t = sup_ref[:, pl.ds(start, TILE)]  # (BB, T) i32
 
-    kept_col = kept.reshape(bb, TILE, 1) > 0
-    g_row = start + t_idx.reshape(bb, TILE, 1)
+        def intra(i, sup_t):
+            alive = jnp.max(jnp.where(t_idx == i, sup_t, 0), axis=1,
+                            keepdims=True) == 0                      # (BB, 1)
+            rowi = m_ref[:, pl.ds(i, 1), :].reshape(bb, TILE) > 0    # (BB, T)
+            new = (alive & rowi & (t_idx > i)).astype(jnp.int32)
+            return jnp.maximum(sup_t, new)
 
-    def chunk_body(jb, _):
-        cs = pl.multiple_of(jb * chunk, chunk)
-        xc1 = coords_ref[:, 0, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
-        yc1 = coords_ref[:, 1, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
-        xc2 = coords_ref[:, 2, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
-        yc2 = coords_ref[:, 3, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
-        iou = _iou_mask(col(xt1), col(yt1), col(xt2), col(yt2),
-                        xc1, yc1, xc2, yc2, thresh)
-        g_col = cs + jax.lax.broadcasted_iota(jnp.int32, (bb, 1, chunk), 2)
-        new_sup = jnp.any(kept_col & iou & (g_col > g_row), axis=1)  # (BB, C)
-        cur = sup_ref[:, pl.ds(cs, chunk)]
-        sup_ref[:, pl.ds(cs, chunk)] = jnp.maximum(cur, new_sup.astype(jnp.int32))
-        return 0
+        sup_t = jax.lax.fori_loop(0, TILE, intra, sup_t)
+        kept = 1 - sup_t
+        sup_ref[:, pl.ds(start, TILE)] = sup_t
+        keep_ref[:, :] = kept
+        # count real kept boxes (padding is pre-suppressed via valid)
+        cnt_ref[:, :] = cnt_ref[:, :] + jnp.sum(kept, axis=1, keepdims=True)
 
-    jax.lax.fori_loop((start // chunk), n // chunk, chunk_body, 0)
+        kept_col = kept.reshape(bb, TILE, 1) > 0
+        g_row = start + t_idx.reshape(bb, TILE, 1)
+
+        def chunk_body(jb, _):
+            cs = pl.multiple_of(jb * chunk, chunk)
+            xc1 = coords_ref[:, 0, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
+            yc1 = coords_ref[:, 1, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
+            xc2 = coords_ref[:, 2, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
+            yc2 = coords_ref[:, 3, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
+            iou = _iou_mask(col(xt1), col(yt1), col(xt2), col(yt2),
+                            xc1, yc1, xc2, yc2, thresh)
+            g_col = cs + jax.lax.broadcasted_iota(jnp.int32, (bb, 1, chunk), 2)
+            new_sup = jnp.any(kept_col & iou & (g_col > g_row), axis=1)
+            cur = sup_ref[:, pl.ds(cs, chunk)]
+            sup_ref[:, pl.ds(cs, chunk)] = jnp.maximum(
+                cur, new_sup.astype(jnp.int32))
+            return 0
+
+        jax.lax.fori_loop((start // chunk), n // chunk, chunk_body, 0)
 
 
-@partial(jax.jit, static_argnames=("thresh",))
-def _nms_pallas_batched_padded(coords, valid, thresh: float):
+@partial(jax.jit, static_argnames=("thresh", "cap"))
+def _nms_pallas_batched_padded(coords, valid, thresh: float, cap: int):
     """coords (B, 4, N), valid (B, N) i32; B % B_BLOCK == 0, N % TILE == 0."""
     b, _, n = coords.shape
     chunk = min(CHUNK, n)  # small problems don't pad to the full chunk
-    kernel = partial(_nms_kernel_b, thresh=float(thresh), n=n, chunk=chunk)
+    kernel = partial(_nms_kernel_b, thresh=float(thresh), n=n, chunk=chunk,
+                     cap=cap)
     keep = pl.pallas_call(
         kernel,
         grid=(b // B_BLOCK, n // TILE),
@@ -240,16 +264,23 @@ def _nms_pallas_batched_padded(coords, valid, thresh: float):
         out_specs=pl.BlockSpec((B_BLOCK, TILE), lambda bb, ti: (bb, ti),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((B_BLOCK, n), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((B_BLOCK, n), jnp.int32),
+                        pltpu.VMEM((B_BLOCK, TILE, TILE), jnp.int32),
+                        pltpu.VMEM((B_BLOCK, 1), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
     )(coords, valid)
     return keep
 
 
-def nms_mask_pallas_batched(boxes, thresh, valid=None, interpret: bool = False):
+def nms_mask_pallas_batched(boxes, thresh, valid=None, interpret: bool = False,
+                            max_keep: int | None = None):
     """Batched greedy NMS: boxes (B, N, 4) score-DESC sorted per row,
     valid (B, N) → keep (B, N) bool.  One kernel launch for all B problems.
+
+    max_keep: optional early-exit cap — the FIRST max_keep kept entries per
+    problem are exact greedy; later keep bits may be dropped (zeroed).  Only
+    valid for callers that keep at most max_keep boxes (nms_fixed_batched).
     """
     b, n = boxes.shape[:2]
     if valid is None:
@@ -263,9 +294,11 @@ def nms_mask_pallas_batched(boxes, thresh, valid=None, interpret: bool = False):
         valid = jnp.pad(valid, ((0, pad_b), (0, pad_n)))
     coords = boxes.transpose(0, 2, 1).astype(jnp.float32)  # (B, 4, N)
     valid_i = valid.astype(jnp.int32)
+    cap = n if max_keep is None else int(max_keep)
     if interpret:
         with pltpu.force_tpu_interpret_mode():
-            keep = _nms_pallas_batched_padded(coords, valid_i, float(thresh))
+            keep = _nms_pallas_batched_padded(coords, valid_i, float(thresh),
+                                              cap)
     else:
-        keep = _nms_pallas_batched_padded(coords, valid_i, float(thresh))
+        keep = _nms_pallas_batched_padded(coords, valid_i, float(thresh), cap)
     return (keep > 0)[:b, :n]

@@ -83,6 +83,7 @@ def _tile_matrices(rois, lo_i, hi_i, size, p, sr, scale, dtype):
 
 def _fwd_kernel(rois_ref, feat_ref, out_ref, fx_ref, *, p, sr, scale, h, w):
     cb = feat_ref.shape[-1]
+    f32 = fx_ref.dtype == jnp.float32
     prec = _precision(fx_ref.dtype)
     rois = rois_ref[:, :]                                # (RT, 4)
 
@@ -99,13 +100,15 @@ def _fwd_kernel(rois_ref, feat_ref, out_ref, fx_ref, *, p, sr, scale, h, w):
     # stacked x-contraction: (RT*p, W) @ (W, H*CB)
     g = jnp.dot(ax.reshape(ROI_TILE * p, w), fx_ref[:, :],
                 preferred_element_type=jnp.float32, precision=prec)
-    g = g.reshape(ROI_TILE, p, h, cb).astype(fx_ref.dtype)   # (RT, px, H, CB)
+    g = g.reshape(ROI_TILE, p, h, cb)
+    if not f32:
+        g = g.astype(fx_ref.dtype)                       # (RT, px, H, CB)
     # batched y-contraction: (RT, p_y, H) x (RT, p_x, H, CB) → (RT, py, px, CB)
     out = jax.lax.dot_general(
         ay, g,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32, precision=prec)
-    out_ref[:, :, :, :] = out.astype(out_ref.dtype)
+    out_ref[:, :, :, :] = out.astype(out_ref.dtype)      # (RT, py, px, CB)
 
 
 def _bwd_kernel(rois_ref, g_ref, dfeat_ref, *, p, sr, scale, h, w):

@@ -43,6 +43,27 @@ def test_nms_batched_kernel_matches_reference(rng):
         np.testing.assert_array_equal(got[i], ref)
 
 
+def test_nms_batched_kernel_capped_prefix_exact(rng):
+    """The early-exit cap (max_keep) must leave the first max_keep kept
+    entries per problem bit-identical to uncapped greedy — the contract
+    nms_fixed_batched relies on to skip tiles once every problem has
+    max_keep kept boxes."""
+    from frcnn_tpu.ops.nms import nms_mask
+    from frcnn_tpu.ops.pallas.nms_kernel import nms_mask_pallas_batched
+
+    interpret = jax.default_backend() != "tpu"
+    b, n, cap = 2, 512, 20
+    boxes = np.stack([_clustered_sorted(rng, n) for _ in range(b)])
+    got = np.asarray(nms_mask_pallas_batched(
+        jnp.asarray(boxes), 0.5, interpret=interpret, max_keep=cap))
+    for i in range(b):
+        ref = np.asarray(nms_mask(jnp.asarray(boxes[i]), 0.5))
+        assert ref.sum() > cap  # the cap must actually bind for this test
+        # kept-first rank order: the first `cap` kept indices must agree
+        np.testing.assert_array_equal(np.where(got[i])[0][:cap],
+                                      np.where(ref)[0][:cap])
+
+
 def test_nms_fixed_batched_matches_unbatched(rng):
     from frcnn_tpu.ops.nms import nms_fixed, nms_fixed_batched
 

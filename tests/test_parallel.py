@@ -133,3 +133,33 @@ def test_serving_detector(mesh8):
         assert r.ndim == 2 and r.shape[1] == 6
     ips = throughput(det, batch=8, iters=2, warmup=1)
     assert ips > 0
+
+
+@pytest.mark.slow
+def test_serving_batch64_over_mesh(mesh8):
+    """BASELINE config 5 shape: batch 64 = 8 images/device over the
+    8-device mesh, through the fused detect pipeline (scaled-down images).
+    Asserts the sharded batch-64 result matches the unsharded computation
+    and that the throughput helper completes at batch 64."""
+    from frcnn_tpu.engine.serve import Detector, throughput
+
+    cfg = small_cfg()
+    model = build_model("mobile", 21, cfg)
+    images = jnp.zeros((1, 128, 128, 3))
+    im_info = jnp.asarray([[128.0, 128.0, 1.0]])
+    variables = model.init(jax.random.PRNGKey(0), images, im_info)
+
+    rng = np.random.RandomState(1)
+    data = rng.uniform(0, 255, (64, 128, 128, 3)).astype(np.float32)
+    infos = np.tile(np.asarray([[128.0, 128.0, 1.0]], np.float32), (64, 1))
+
+    det_mesh = Detector(model, variables, cfg, mesh=mesh8)
+    d_mesh, v_mesh = det_mesh.detect_blobs(data, infos)
+    # per-image detection is embarrassingly data-parallel: the mesh result
+    # must equal the single-device result on the same batch
+    det_one = Detector(model, variables, cfg)
+    d_one, v_one = det_one.detect_blobs(data, infos)
+    np.testing.assert_array_equal(np.asarray(v_mesh), np.asarray(v_one))
+    np.testing.assert_allclose(np.asarray(d_mesh), np.asarray(d_one),
+                               rtol=1e-5, atol=1e-4)
+    assert throughput(det_mesh, batch=64, iters=1, warmup=1) > 0
