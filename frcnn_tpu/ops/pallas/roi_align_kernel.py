@@ -13,12 +13,15 @@ sr sample rows of the interpolation matrix gives the exact same operator at
 1/sr^2 the FLOPs).
 
 Everything in a grid step is **tile-batched** — the interpolation matrices
-for all ROI_TILE rois build in one set of 3-D iota/select ops, the
-F-contraction stacks the tile's Ay blocks along the matmul M dimension
-(16*7 = 112 ≈ the 128-row MXU tile), and the x-contraction is a single
-batched dot_general — no per-roi python loop (op-issue latency at ~1216
-grid steps made the looped version 30 ms; this one is ~6x fewer ops and
-4x fewer grid steps via 512-channel blocks).
+for all ROI_TILE rois build in one set of 3-D iota/select ops, and BOTH
+contractions are single full-width MXU matmuls: the x-contraction stacks
+the tile's Ax blocks px-major along M ((p*RT, W) @ (W, HP*CB)), and the
+y-contraction is one block-diagonal (RT*8, RT*HP) @ (RT*HP, p*CB) matmul
+(HP = H padded to a sublane multiple so the in-between minor-split reshape
+is a cheap aligned shape-cast, not a relayout).  No per-roi python loop
+and no batched dot_general: per-roi M=7 MXU passes cost ~1.4 µs each in
+pass overhead and dominated earlier versions (30 ms looped → 10.8 ms
+batched-dot → 4.3 ms this form, at the 8-image 304-roi detect shape).
 
 Backward (dF only — rois are detached in the reference lineage):
 dF = sum_r Ay[r]^T @ dOut[r] @ Ax[r], accumulated per channel block with
@@ -81,33 +84,58 @@ def _tile_matrices(rois, lo_i, hi_i, size, p, sr, scale, dtype):
     return pooled.astype(dtype)                          # (RT, p, size)
 
 
+def _hp(h: int) -> int:
+    """H padded to a sublane multiple: keeps the mid-kernel minor-split
+    reshape and the block-diagonal y-matmul vreg-aligned."""
+    return (h + 7) // 8 * 8
+
+
 def _fwd_kernel(rois_ref, feat_ref, out_ref, fx_ref, *, p, sr, scale, h, w):
     cb = feat_ref.shape[-1]
-    f32 = fx_ref.dtype == jnp.float32
+    hp = _hp(h)
     prec = _precision(fx_ref.dtype)
     rois = rois_ref[:, :]                                # (RT, 4)
 
     # Transpose the feature block to x-major ONCE per channel block (rti is
-    # the inner grid dim); per-step output transposes were the kernel's
-    # dominant cost.
+    # the inner grid dim), zero-padding H to hp; per-step transposes were
+    # the kernel's original dominant cost.
     @pl.when(pl.program_id(1) == 0)
     def _():
-        fx_ref[:, :] = feat_ref[0, :, :, :].transpose(1, 0, 2).reshape(w, h * cb)
+        ft = feat_ref[0, :, :, :].transpose(1, 0, 2)     # (W, H, CB)
+        ft = jnp.pad(ft, ((0, 0), (0, hp - h), (0, 0)))
+        fx_ref[:, :] = ft.reshape(w, hp * cb)
 
     ay = _tile_matrices(rois, 1, 3, h, p, sr, scale, fx_ref.dtype)  # (RT, p, H)
     ax = _tile_matrices(rois, 0, 2, w, p, sr, scale, fx_ref.dtype)  # (RT, p, W)
 
-    # stacked x-contraction: (RT*p, W) @ (W, H*CB)
-    g = jnp.dot(ax.reshape(ROI_TILE * p, w), fx_ref[:, :],
+    # Stacked x-contraction with px-MAJOR rows: (p*RT, W) @ (W, HP*CB).
+    # px-major makes each px's slab a contiguous aligned row block, so the
+    # (RT, HP*CB) → (RT*HP, CB) minor-split reshape below is cheap.
+    g = jnp.dot(ax.transpose(1, 0, 2).reshape(p * ROI_TILE, w), fx_ref[:, :],
                 preferred_element_type=jnp.float32, precision=prec)
-    g = g.reshape(ROI_TILE, p, h, cb)
-    if not f32:
-        g = g.astype(fx_ref.dtype)                       # (RT, px, H, CB)
-    # batched y-contraction: (RT, p_y, H) x (RT, p_x, H, CB) → (RT, py, px, CB)
-    out = jax.lax.dot_general(
-        ay, g,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32, precision=prec)
+    g = g.astype(fx_ref.dtype)                           # (p*RT, HP*CB)
+
+    # y-contraction as ONE aligned block-diagonal matmul instead of a
+    # batched dot_general (which lowers to RT serial M=7 MXU passes whose
+    # per-pass overhead dominated: 26 of 35 µs/step).  Measured 10.8 ms →
+    # 4.3 ms at the 8×(304 roi, 50×76×1024) detect shape.  Rejected
+    # alternatives (measured): explicit px↔H transpose (+40 µs/step in
+    # Mosaic relayouts, aligned or not), CHAN_BLOCK 256/1024 (±10%).
+    slabs = [g[px * ROI_TILE:(px + 1) * ROI_TILE, :].reshape(ROI_TILE * hp, cb)
+             for px in range(p)]
+    g2 = jnp.concatenate(slabs, axis=1)                  # (RT*HP, p*CB)
+    ayp = jnp.pad(ay, ((0, 0), (0, 8 - p % 8 if p % 8 else 0), (0, hp - h)))
+    pp = ayp.shape[1]                                    # p padded to 8 rows
+    ay_f = ayp.reshape(ROI_TILE * pp, hp)
+    row_r = jax.lax.broadcasted_iota(
+        jnp.int32, (ROI_TILE * pp, ROI_TILE * hp), 0) // pp
+    lane_r = jax.lax.broadcasted_iota(
+        jnp.int32, (ROI_TILE * pp, ROI_TILE * hp), 1) // hp
+    aybd = jnp.where(row_r == lane_r,
+                     jnp.tile(ay_f, (1, ROI_TILE)), 0).astype(ay.dtype)
+    out = jnp.dot(aybd, g2, preferred_element_type=jnp.float32,
+                  precision=prec)                        # (RT*pp, p*CB)
+    out = out.reshape(ROI_TILE, pp, p, cb)[:, :p]
     out_ref[:, :, :, :] = out.astype(out_ref.dtype)      # (RT, py, px, CB)
 
 
@@ -186,7 +214,7 @@ def _fwd(feat, rois, p, scale, sr, interpret=False):
                                lambda cb, rti: (rti, 0, 0, cb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rois_p.shape[0], p, p, c), feat.dtype),
-        scratch_shapes=[pltpu.VMEM((w, h * cbl), feat.dtype)],
+        scratch_shapes=[pltpu.VMEM((w, _hp(h) * cbl), feat.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
