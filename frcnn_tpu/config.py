@@ -83,6 +83,8 @@ class TrainConfig:
     GRAD_CLIP: float = 0.0        # global-norm gradient clip (0 = off)
     WARMUP_ITERS: int = 0         # linear lr warmup steps (0 = off)
     WARMUP_FACTOR: float = 0.1    # starting lr fraction during warmup
+    IMAGE_CACHE: bool = False     # memmap decoded-image cache (data/cache.py);
+    #                               skips per-epoch JPEG decode on slow hosts
 
 
 @dataclass(frozen=True)

@@ -23,13 +23,16 @@ from frcnn_tpu.data.imdb import imdb
 
 
 class coco(imdb):
-    def __init__(self, image_set: str, year: str, data_path: str | None = None):
+    def __init__(self, image_set: str, year: str, data_path: str | None = None,
+                 data_dir: str | None = None):
         super().__init__(f"coco_{year}_{image_set}")
         self._year = year
         self._image_set = image_set
         from frcnn_tpu.config import cfg
 
-        self._data_path = data_path or osp.join(cfg.DATA_DIR, "coco")
+        self._data_dir = data_dir
+        self._data_path = data_path or osp.join(data_dir or cfg.DATA_DIR,
+                                                "coco")
         self._anno_file = osp.join(
             self._data_path, "annotations",
             f"instances_{image_set}{year}.json")

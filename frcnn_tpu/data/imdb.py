@@ -77,7 +77,10 @@ class imdb:
     def cache_path(self):
         from frcnn_tpu.config import cfg
 
-        path = osp.join(cfg.DATA_DIR, "cache")
+        # honor a per-instance data dir (factory.get_imdb(data_dir=...),
+        # i.e. CLI --set DATA_DIR) over the module default
+        base = getattr(self, "_data_dir", None) or cfg.DATA_DIR
+        path = osp.join(base, "cache")
         os.makedirs(path, exist_ok=True)
         return path
 

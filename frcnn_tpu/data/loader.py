@@ -85,12 +85,16 @@ def im_list_to_blob(ims):
     return blob
 
 
-def get_minibatch(roidb, cfg: Config, rng: np.random.RandomState | None = None):
+def get_minibatch(roidb, cfg: Config, rng: np.random.RandomState | None = None,
+                  reader=None):
     """Build one fixed-shape minibatch from roidb entries.
 
     Returns dict: data (B, bh, bw, 3) f32 raw BGR; im_info (B, 3) [h, w,
     scale] of the *scaled, unpadded* image; gt_boxes (B, MAX_GT, 4) scaled;
     gt_labels (B, MAX_GT) int32; gt_valid (B, MAX_GT) bool.
+
+    ``reader`` optionally replaces cv2.imread (→ BGR uint8), e.g.
+    ``DecodedImageCache.reader`` to skip per-epoch JPEG decode.
     """
     import cv2
 
@@ -102,7 +106,7 @@ def get_minibatch(roidb, cfg: Config, rng: np.random.RandomState | None = None):
     images, infos, gtb, gtl, gtv = [], [], [], [], []
     prepped = []
     for entry in roidb:
-        im = cv2.imread(entry["image"])
+        im = (reader or cv2.imread)(entry["image"])
         assert im is not None, f"failed to read {entry['image']}"
         if entry.get("flipped", False):
             im = im[:, ::-1, :]
@@ -157,11 +161,12 @@ class RoIDataLayer:
     beside each .pth — SURVEY.md §3.4)."""
 
     def __init__(self, roidb, cfg: Config, random: bool = False,
-                 batch_size: int | None = None):
+                 batch_size: int | None = None, reader=None):
         self._roidb = roidb
         self._cfg = cfg
         self._random = random
         self._batch = batch_size or cfg.TRAIN.IMS_PER_BATCH
+        self._reader = reader  # optional DecodedImageCache.reader
         self._rng = np.random.RandomState(cfg.RNG_SEED)
         self._shuffle_roidb_inds()
 
@@ -194,7 +199,8 @@ class RoIDataLayer:
 
     def forward(self):
         inds = self._get_next_minibatch_inds()
-        return get_minibatch([self._roidb[i] for i in inds], self._cfg, self._rng)
+        return get_minibatch([self._roidb[i] for i in inds], self._cfg,
+                             self._rng, reader=self._reader)
 
     # -- snapshot state (reference SolverWrapper.snapshot saves these) -------
     def get_state(self):

@@ -30,13 +30,14 @@ VOC_CLASSES = (
 
 class pascal_voc(imdb):
     def __init__(self, image_set: str, year: str, use_diff: bool = False,
-                 devkit_path: str | None = None):
+                 devkit_path: str | None = None, data_dir: str | None = None):
         name = f"voc_{year}_{image_set}"
         if use_diff:
             name += "_diff"
         super().__init__(name, list(VOC_CLASSES))
         self._year = year
         self._image_set = image_set
+        self._data_dir = data_dir
         self._devkit_path = devkit_path or self._default_path()
         self._data_path = osp.join(self._devkit_path, "VOC" + year)
         self._class_to_ind = dict(zip(self.classes, range(self.num_classes)))
@@ -60,7 +61,8 @@ class pascal_voc(imdb):
     def _default_path(self):
         from frcnn_tpu.config import cfg
 
-        return osp.join(cfg.DATA_DIR, "VOCdevkit" + self._year)
+        return osp.join(self._data_dir or cfg.DATA_DIR,
+                        "VOCdevkit" + self._year)
 
     # -- index / paths --------------------------------------------------------
     def _load_image_set_index(self):

@@ -79,7 +79,7 @@ def combined_roidb(imdb_names: str, cfg: Config):
     from frcnn_tpu.data.factory import get_imdb
 
     def get_roidb(name):
-        imdb = get_imdb(name)
+        imdb = get_imdb(name, data_dir=cfg.DATA_DIR)
         print(f"Loaded dataset `{imdb.name}`")
         imdb.set_proposal_method(cfg.TRAIN.PROPOSAL_METHOD)
         return imdb, get_training_roidb(imdb, cfg)
@@ -351,9 +351,21 @@ class SolverWrapper:
         cfg = self.cfg
         if cfg.TPU.DEBUG_NANS:
             jax.config.update("jax_debug_nans", True)
-        self.data_layer = RoIDataLayer(self.roidb, cfg)
+        reader = None
+        if cfg.TRAIN.IMAGE_CACHE:
+            # decode-once memmap cache: the single-core host otherwise spends
+            # ~0.5 s/batch re-decoding JPEGs vs the ~27 ms device step
+            from frcnn_tpu.data.cache import DecodedImageCache
+
+            paths = [r["image"] for r in self.roidb]
+            if self.valroidb is not None:
+                paths += [r["image"] for r in self.valroidb]
+            cache = DecodedImageCache.build(
+                paths, osp.join(self.output_dir, "image_cache"))
+            reader = cache.reader
+        self.data_layer = RoIDataLayer(self.roidb, cfg, reader=reader)
         self.data_layer_val = (
-            RoIDataLayer(self.valroidb, cfg, random=True)
+            RoIDataLayer(self.valroidb, cfg, random=True, reader=reader)
             if self.valroidb is not None else None)
         self.construct_graph()
 

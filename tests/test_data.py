@@ -259,3 +259,36 @@ def test_minibatch_mixed_orientation(tmp_path):
     assert blobs["data"].shape == (2, 448, 448, 3)  # union bucket
     # both images keep their full resize scale (no shrink-to-fit)
     assert np.allclose(blobs["im_info"][:, 2], 1.0)
+
+def test_decoded_image_cache(voc_root, tmp_path):
+    """Cache-backed batches must be bit-identical to cv2.imread batches
+    (including flipped entries), and the cache must reload from disk."""
+    from frcnn_tpu.data.cache import DecodedImageCache
+    from frcnn_tpu.data.loader import RoIDataLayer
+    from frcnn_tpu.data.roidb import prepare_roidb
+
+    ds, _ = _make_voc(voc_root, split="trainval")
+    _ = ds.roidb
+    prepare_roidb(ds)
+    ds.append_flipped_images()  # flip path reads through the cache view
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, TPU=dataclasses.replace(cfg.TPU, BUCKETS=((256, 320), (320, 448))),
+        TRAIN=dataclasses.replace(cfg.TRAIN, SCALES=(200,), MAX_SIZE=400))
+
+    prefix = str(tmp_path / "cache" / "image_cache")
+    cache = DecodedImageCache.build([r["image"] for r in ds.roidb], prefix,
+                                    verbose=False)
+    plain = RoIDataLayer(ds.roidb, cfg)
+    cached = RoIDataLayer(ds.roidb, cfg, reader=cache.reader)
+    for _ in range(4):  # cycles through flipped entries too
+        a, b = plain.forward(), cached.forward()
+        np.testing.assert_array_equal(a["data"], b["data"])
+        np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+
+    # reopen from disk; build() on an existing complete cache must reuse it
+    reopened = DecodedImageCache.open(prefix)
+    p0 = ds.roidb[0]["image"]
+    np.testing.assert_array_equal(cache.reader(p0), reopened.reader(p0))
+    again = DecodedImageCache.build([p0], prefix, verbose=False)
+    assert p0 in again

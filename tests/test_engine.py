@@ -220,3 +220,27 @@ def test_gt_overlay_image():
     im = sw._gt_overlay(blobs)
     assert im.shape == (64, 96, 3) and im.dtype == np.uint8
     assert (im != 128).any(), "no box drawn"
+
+
+@pytest.mark.slow
+def test_train_with_image_cache(voc_root, tmp_path):
+    """TRAIN.IMAGE_CACHE=True: the driver builds the memmap cache and the
+    short run stays finite; the cache files land in the output dir."""
+    from frcnn_tpu.engine.train import train_net, get_training_roidb
+    from frcnn_tpu.models import build_model
+
+    root, _ = voc_root
+    cfg = tiny_cfg(root)
+    cfg = dataclasses.replace(
+        cfg, TRAIN=dataclasses.replace(cfg.TRAIN, IMAGE_CACHE=True))
+    ds, _ = make_voc(voc_root, split="trainval")
+    ds.set_proposal_method("gt")
+    roidb = get_training_roidb(ds, cfg)
+    out_dir = str(tmp_path / "train_cache_out")
+    model = build_model("mobile", ds.num_classes, cfg)
+    train_net(model, ds, roidb, None, out_dir,
+              tb_dir=osp.join(out_dir, "tb"), cfg=cfg, max_iters=2)
+    assert osp.exists(osp.join(out_dir, "image_cache.dat"))
+    lines = [eval(line.replace("true", "True")) for line in
+             open(osp.join(out_dir, "train_log.jsonl"))]
+    assert np.isfinite(lines[-1]["total_loss"])

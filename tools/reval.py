@@ -21,6 +21,8 @@ def parse_args():
     parser.add_argument("--nms", dest="apply_nms", action="store_true",
                         help="re-apply per-class NMS before evaluating")
     parser.add_argument("--nms-thresh", type=float, default=0.3)
+    parser.add_argument("--data-dir", default=None,
+                        help="dataset root (defaults to cfg.DATA_DIR)")
     return parser.parse_args()
 
 
@@ -28,7 +30,7 @@ def from_dets(imdb_name, output_dir, args):
     from frcnn_tpu.data.factory import get_imdb
     from frcnn_tpu.engine.test import apply_nms
 
-    imdb = get_imdb(imdb_name)
+    imdb = get_imdb(imdb_name, data_dir=args.data_dir)
     imdb.competition_mode(args.comp_mode)
     with open(osp.join(output_dir, "detections.pkl"), "rb") as f:
         dets = pickle.load(f)

@@ -53,7 +53,7 @@ def main():
     print(cfg)
     np.random.seed(cfg.RNG_SEED)
 
-    imdb = get_imdb(args.imdb_name)
+    imdb = get_imdb(args.imdb_name, data_dir=cfg.DATA_DIR)
     imdb.competition_mode(args.comp_mode)
 
     dtype = jnp.bfloat16 if (cfg.TPU.DTYPE == "bfloat16"
