@@ -139,34 +139,61 @@ def _fwd_kernel(rois_ref, feat_ref, out_ref, fx_ref, *, p, sr, scale, h, w):
     out_ref[:, :, :, :] = out.astype(out_ref.dtype)      # (RT, py, px, CB)
 
 
-def _bwd_kernel(rois_ref, g_ref, dfeat_ref, *, p, sr, scale, h, w):
+def _bwd_kernel(rois_ref, g_ref, dfeat_ref, dfx_ref, *, p, sr, scale, h, w):
+    """Adjoint of the v4 forward, run transpose-free: dFX = AX_s^T ·
+    unconcat(AYbd^T · dOUT), accumulated in the same x-major (W, HP*CB)
+    layout the forward reads from, then un-transposed ONCE per channel
+    block at the last roi tile.  (The previous form — batched K=7
+    dot_general + a 17 MB Mosaic transpose per step — cost ~12 ms at the
+    8×128-roi train shape; this one ~3 ms.)"""
     rt_i = pl.program_id(1)
+    cb = dfeat_ref.shape[-1]
+    hp = _hp(h)
+    dtype = g_ref.dtype
+    prec = _precision(dtype)
+    rois = rois_ref[:, :]
+    ay = _tile_matrices(rois, 1, 3, h, p, sr, scale, dtype)   # (RT, p, H)
+    ax = _tile_matrices(rois, 0, 2, w, p, sr, scale, dtype)   # (RT, p, W)
 
     @pl.when(rt_i == 0)
     def _():
-        dfeat_ref[0, :, :, :] = jnp.zeros_like(dfeat_ref[0, :, :, :])
+        dfx_ref[:, :] = jnp.zeros_like(dfx_ref[:, :])
 
-    cb = dfeat_ref.shape[-1]
-    prec = jax.lax.Precision.HIGHEST
-    rois = rois_ref[:, :]
-    ay = _tile_matrices(rois, 1, 3, h, p, sr, scale, jnp.float32)  # (RT, p, H)
-    ax = _tile_matrices(rois, 0, 2, w, p, sr, scale, jnp.float32)  # (RT, p, W)
-    dout = g_ref[:, :, :, :].astype(jnp.float32)                   # (RT, py, px, CB)
+    # dOUT rows (r, py8) / lanes (px, cb) — pad py to 8 so the outer merge
+    # is aligned; the px sublane→lane move is a small (~1.6 MB) relayout
+    dout = g_ref[:, :, :, :]                                  # (RT, py, px, CB)
+    pp = 8
+    dout = jnp.pad(dout, ((0, 0), (0, pp - p), (0, 0), (0, 0)))
+    dout2 = dout.reshape(ROI_TILE * pp, p * cb)
 
-    # dG (RT, p_y, W, CB) = contract dout's p_x with Ax
-    dg = jax.lax.dot_general(
-        ax, dout,
-        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=prec)                                   # (RT, W, p_y, CB)
-    dg = dg.transpose(0, 2, 1, 3)                          # (RT, p_y, W, CB)
-    # dF += Ay_all^T @ dG_all: contract stacked (RT*p) dim
+    # transposed block-diagonal Ay: (RT*HP, RT*8)
+    ayp = jnp.pad(ay, ((0, 0), (0, pp - p), (0, hp - h)))     # (RT, 8, HP)
+    ay_t = ayp.reshape(ROI_TILE * pp, hp).T                   # (HP, RT*8)
+    row_r = jax.lax.broadcasted_iota(
+        jnp.int32, (ROI_TILE * hp, ROI_TILE * pp), 0) // hp
+    lane_r = jax.lax.broadcasted_iota(
+        jnp.int32, (ROI_TILE * hp, ROI_TILE * pp), 1) // pp
+    aybd_t = jnp.where(row_r == lane_r,
+                       jnp.tile(ay_t, (ROI_TILE, 1)), 0).astype(dtype)
+    dg2 = jnp.dot(aybd_t, dout2, preferred_element_type=jnp.float32,
+                  precision=prec).astype(dtype)               # (RT*HP, p*CB)
+
+    # reverse of the forward's slab split: per-px lane slice → aligned
+    # minor-merge → px-major sublane stack
+    dg = jnp.concatenate(
+        [dg2[:, px * cb:(px + 1) * cb].reshape(ROI_TILE, hp * cb)
+         for px in range(p)], axis=0)                         # (p*RT, HP*CB)
+    # dFX += AX_s^T @ dG: contract the stacked px-major roi rows
     upd = jax.lax.dot_general(
-        ay.reshape(ROI_TILE * p, h), dg.reshape(ROI_TILE * p, w * cb),
+        ax.transpose(1, 0, 2).reshape(p * ROI_TILE, w), dg,
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)  # (H, W*CB)
-    acc = dfeat_ref[0, :, :, :].reshape(h, w * cb).astype(jnp.float32)
-    dfeat_ref[0, :, :, :] = (acc + upd).reshape(h, w, cb).astype(dfeat_ref.dtype)
+        preferred_element_type=jnp.float32, precision=prec)   # (W, HP*CB)
+    dfx_ref[:, :] = dfx_ref[:, :] + upd
+
+    @pl.when(rt_i == pl.num_programs(1) - 1)
+    def _():
+        dfx = dfx_ref[:, :].reshape(w, hp, cb)[:, :h, :]
+        dfeat_ref[0, :, :, :] = dfx.transpose(1, 0, 2).astype(dfeat_ref.dtype)
 
 
 def _pad_rois(rois):
@@ -252,6 +279,7 @@ def _bwd_rule(p, scale, sr, interpret, res, g):
         out_specs=pl.BlockSpec((1, h, w, cbl), lambda cb, rti: (0, 0, 0, cb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, h, w, c), dtype),
+        scratch_shapes=[pltpu.VMEM((w, _hp(h) * cbl), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
