@@ -9,16 +9,17 @@ docs/PROFILE_r02.md §5).  This cache decodes each image ONCE into one flat
 uint8 file plus a pickle index, then serves zero-copy ``np.memmap`` views.
 
 Layout: ``<path>.dat`` is the concatenated raw BGR bytes of every image;
-``<path>.idx`` pickles ``{image_path: (offset, h, w, c)}``.  The cache is
-keyed by image path and validated by (h, w) on read, so a stale cache for
-changed-size images fails loudly instead of silently training on the wrong
-pixels.  Flipping is NOT cached — `get_minibatch` flips views on the fly,
-matching the reference's flipped-roidb convention (imdb.append_flipped_images
-doubles the roidb without duplicating files).
+``<path>.idx`` pickles ``{image_path: (offset, h, w, c, mtime, fsize)}``.
+The cache is keyed by image path and validated against each source file's
+(mtime, size) when an existing cache is opened for reuse, so a stale cache
+for replaced/re-exported images is rebuilt instead of silently training on
+the old pixels.  Flipping is NOT cached — `get_minibatch` flips views on
+the fly, matching the reference's flipped-roidb convention
+(imdb.append_flipped_images doubles the roidb without duplicating files).
 
 Enable with ``cfg.TRAIN.IMAGE_CACHE=True`` (``--set TRAIN.IMAGE_CACHE
-True``); the train driver builds it next to the experiment output dir on
-first use.
+True``); the train driver builds it under ``<DATA_DIR>/cache/`` keyed by
+the imdb name (shared across experiments, like the roidb pkl caches).
 """
 
 from __future__ import annotations
@@ -41,10 +42,22 @@ class DecodedImageCache:
 
     # -- construction --------------------------------------------------------
 
+    @staticmethod
+    def _entry_current(path: str, entry) -> bool:
+        """A cached entry is current iff the source file still has the
+        (mtime, size) recorded at build time."""
+        try:
+            st = os.stat(path)
+        except OSError:
+            return False
+        _, _, _, _, mtime, fsize = entry
+        return st.st_mtime == mtime and st.st_size == fsize
+
     @classmethod
     def build(cls, image_paths, cache_prefix: str, verbose: bool = True):
         """Decode every unique path into ``<cache_prefix>.dat/.idx``.
-        Skips the build when a complete cache already exists."""
+        Reuses an existing cache only when it covers every requested path
+        AND each source file is unchanged (mtime+size) since the build."""
         import cv2
 
         dat, idx = cache_prefix + ".dat", cache_prefix + ".idx"
@@ -52,10 +65,13 @@ class DecodedImageCache:
         if osp.exists(dat) and osp.exists(idx):
             with open(idx, "rb") as f:
                 index = pickle.load(f)
-            if all(p in index for p in unique):
+            if all(p in index and cls._entry_current(p, index[p])
+                   for p in unique):
                 if verbose:
                     print(f"image cache: reusing {dat} ({len(index)} images)")
                 return cls(dat, index)
+            if verbose:
+                print("image cache: stale or incomplete — rebuilding")
         os.makedirs(osp.dirname(osp.abspath(dat)), exist_ok=True)
         index = {}
         offset = 0
@@ -65,7 +81,8 @@ class DecodedImageCache:
                 assert im is not None, f"failed to read {p}"
                 im = np.ascontiguousarray(im)
                 f.write(im.tobytes())
-                index[p] = (offset, *im.shape)
+                st = os.stat(p)
+                index[p] = (offset, *im.shape, st.st_mtime, st.st_size)
                 offset += im.nbytes
                 if verbose and (i + 1) % 500 == 0:
                     print(f"image cache: {i + 1}/{len(unique)} decoded")
@@ -89,5 +106,5 @@ class DecodedImageCache:
 
     def reader(self, path: str) -> np.ndarray:
         """(H, W, C) uint8 BGR view of the cached decode of ``path``."""
-        offset, h, w, c = self._index[path]
+        offset, h, w, c = self._index[path][:4]
         return self._mm[offset:offset + h * w * c].reshape(h, w, c)

@@ -40,7 +40,10 @@ def pick_scale_and_bucket(h: int, w: int, target_size: int, max_size: int, bucke
     for bh, bw in sorted(buckets, key=lambda b: b[0] * b[1]):
         if sh <= bh and sw <= bw:
             return scale, (bh, bw)
-    bh, bw = max(buckets, key=lambda b: b[0] * b[1])
+    # no bucket fits: pick the bucket that loses the least resolution (NOT
+    # the largest-area one — for a portrait image that would select a
+    # landscape bucket and shrink ~2x more than its transpose)
+    bh, bw = max(buckets, key=lambda b: min(b[0] / sh, b[1] / sw))
     shrink = min(bh / sh, bw / sw)
     return scale * shrink, (bh, bw)
 
@@ -173,19 +176,33 @@ class RoIDataLayer:
     def _shuffle_roidb_inds(self):
         if self._random:  # reference uses time-seeded randomness for val
             self._rng = np.random.RandomState(np.random.randint(0, 2**31 - 1))
-        if self._cfg.TRAIN.ASPECT_GROUPING:
+        # Orientation grouping: the reference pairs portrait/landscape images
+        # under ASPECT_GROUPING (its batches are <= 2 images).  With B-image
+        # batches and both bucket orientations configured, a mixed batch
+        # snaps to the oversized union bucket (snap_to_bucket fallback) —
+        # at B=8 and ~1/3 portrait images that would be ~96% of batches —
+        # so whole-batch grouping auto-activates in that beyond-reference
+        # regime even when ASPECT_GROUPING is off.
+        group = self._cfg.TRAIN.ASPECT_GROUPING or (
+            self._batch > 1 and len(self._cfg.TPU.BUCKETS) > 1)
+        if group and len(self._roidb) > 0:
             widths = np.array([r["width"] for r in self._roidb])
             heights = np.array([r["height"] for r in self._roidb])
             horz = widths >= heights
-            horz_inds = np.where(horz)[0]
-            vert_inds = np.where(~horz)[0]
-            inds = np.hstack((self._rng.permutation(horz_inds),
-                              self._rng.permutation(vert_inds)))
-            row = inds.reshape(-1, 2) if len(inds) % 2 == 0 else None
-            if row is not None:
-                self._perm = row[self._rng.permutation(len(row))].ravel()
-            else:
-                self._perm = self._rng.permutation(len(self._roidb))
+            b = self._batch
+            groups = []
+            partial = []
+            for inds in (np.where(horz)[0], np.where(~horz)[0]):
+                inds = self._rng.permutation(inds)
+                for i in range(0, len(inds), b):
+                    g = inds[i:i + b]
+                    (groups if len(g) == b else partial).append(g)
+            order = self._rng.permutation(len(groups))
+            # full orientation-pure groups first (batch slices stay aligned
+            # to the stride-b cursor); the <= 2 partial tails go last
+            self._perm = np.concatenate(
+                [groups[i] for i in order] + partial) if groups or partial \
+                else np.arange(0)
         else:
             self._perm = self._rng.permutation(len(self._roidb))
         self._cur = 0

@@ -360,8 +360,11 @@ class SolverWrapper:
             paths = [r["image"] for r in self.roidb]
             if self.valroidb is not None:
                 paths += [r["image"] for r in self.valroidb]
+            # dataset-level location (like the roidb pkl caches) so multiple
+            # experiments share one decode, not one copy per output_dir
             cache = DecodedImageCache.build(
-                paths, osp.join(self.output_dir, "image_cache"))
+                paths, osp.join(self.imdb.cache_path,
+                                f"{self.imdb.name}_decoded"))
             reader = cache.reader
         self.data_layer = RoIDataLayer(self.roidb, cfg, reader=reader)
         self.data_layer_val = (

@@ -340,20 +340,19 @@ class FasterRCNNFPN(nn.Module):
     def frozen_param(self, path: tuple, cfg=None) -> bool:
         """Freezing for the optimizer mask: frozen-BN params always (not
         GroupNorm); conv1 + fixed blocks inside 'stages' (same policy as the
-        C4 resnet).  With norm='group' nothing in the trunk is frozen except
-        what FIXED_BLOCKS demands."""
+        C4 resnet).  GroupNorm variants honor RESNET.FIXED_BLOCKS too, with
+        one difference: conv1 is frozen only when FIXED_BLOCKS >= 1 (the
+        frozen-BN path pins conv1 unconditionally because it assumes
+        pretrained weights; a from-scratch GN run sets FIXED_BLOCKS=0 and
+        must freeze NOTHING — build_fpn_model warns otherwise)."""
         s = [str(p) for p in path]
         if self.norm == "frozen_bn" and any(
                 p.startswith(("bn", "downsample_bn")) for p in s):
             return True
-        # FIXED_BLOCKS / conv1 freezing applies to GroupNorm variants too
-        # (only the norm-param freezing above is frozen-BN-specific); a
-        # from-scratch GN run should set RESNET.FIXED_BLOCKS=0, since
-        # freezing random early stages would pin garbage features.
         if s and s[0] == "stages":
             fixed = cfg.RESNET.FIXED_BLOCKS if cfg is not None else 1
             if any(p in ("conv1", "bn1") for p in s[1:2]):
-                return True
+                return self.norm == "frozen_bn" or fixed >= 1
             for k in range(1, fixed + 1):
                 if len(s) > 1 and s[1].startswith(f"layer{k}_"):
                     return True
@@ -364,6 +363,12 @@ def build_fpn_model(net: str, num_classes: int, cfg: Config, dtype=jnp.float32):
     """net: 'res{50,101,152}_fpn' (frozen-BN, reference-parity pretrained
     path) or 'res{...}_fpn_gn' (GroupNorm — trainable from scratch)."""
     norm = "group" if net.endswith("_gn") else "frozen_bn"
+    if norm == "group" and cfg.RESNET.FIXED_BLOCKS > 0:
+        print(f"WARNING: {net} is the from-scratch GroupNorm variant but "
+              f"RESNET.FIXED_BLOCKS={cfg.RESNET.FIXED_BLOCKS} will freeze "
+              "randomly initialized early stages (conv1..layer"
+              f"{cfg.RESNET.FIXED_BLOCKS}) — set RESNET.FIXED_BLOCKS 0 "
+              "unless you are loading pretrained weights")
     depth = int(net.replace("res", "").replace("_fpn", "").replace("_gn", ""))
     return FasterRCNNFPN(num_classes=num_classes, config=cfg, depth=depth,
                          dtype=dtype, norm=norm)

@@ -173,13 +173,20 @@ def _nms_kernel_b(coords_ref, valid_ref, keep_ref, sup_ref, m_ref, cnt_ref, *,
         cnt_ref[:, :] = jnp.zeros_like(cnt_ref[:, :])
 
     # Early-exit cap: callers (nms_fixed_batched) keep only the first
-    # ``cap`` kept boxes per problem.  Boxes are score-ordered, so once every
-    # problem in the block has ``cap`` kept, later tiles cannot change the
-    # first ``cap`` kept entries of any problem — skip their work entirely
-    # and emit keep=0 (suppressing nothing also leaves later keep bits 0/1
-    # undefined only BEYOND the cap, which the rank-sort in the caller
-    # drops).  For the 6k-box proposal problem this skips ~80% of tiles.
-    done = jnp.min(cnt_ref[:, 0]) >= cap
+    # ``cap`` kept boxes per problem.  Boxes are score-ordered, so a problem
+    # is SETTLED once it has ``cap`` kept (later tiles cannot change its
+    # first ``cap`` kept entries) — or once no valid boxes remain from this
+    # tile on (nothing left to keep: covers the all-invalid B-padding rows
+    # and per-class problems with fewer than ``cap`` above-threshold boxes,
+    # which a bare count>=cap test would stall on, disabling the exit for
+    # the whole block).  When every problem in the block is settled, skip
+    # the tile entirely and emit keep=0 (keep bits beyond the cap are
+    # droppable — the caller's rank-sort keeps only the first ``cap``).
+    # For the 6k-box proposal problem this skips ~80% of tiles.
+    start = pl.multiple_of(ti * TILE, TILE)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (bb, n), 1)
+    remaining = jnp.sum(jnp.where(pos >= start, valid_ref[:, :], 0), axis=1)
+    done = jnp.all((cnt_ref[:, 0] >= cap) | (remaining == 0))
 
     @pl.when(done)
     def _():
@@ -187,7 +194,6 @@ def _nms_kernel_b(coords_ref, valid_ref, keep_ref, sup_ref, m_ref, cnt_ref, *,
 
     @pl.when(jnp.logical_not(done))
     def _():
-        start = pl.multiple_of(ti * TILE, TILE)
         # tile coordinates (BB, T) — block layout is (BB, 4, N)
         xt1 = coords_ref[:, 0, pl.ds(start, TILE)]
         yt1 = coords_ref[:, 1, pl.ds(start, TILE)]

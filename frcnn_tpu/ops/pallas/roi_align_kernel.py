@@ -159,10 +159,11 @@ def _bwd_kernel(rois_ref, g_ref, dfeat_ref, dfx_ref, *, p, sr, scale, h, w):
     def _():
         dfx_ref[:, :] = jnp.zeros_like(dfx_ref[:, :])
 
-    # dOUT rows (r, py8) / lanes (px, cb) — pad py to 8 so the outer merge
-    # is aligned; the px sublane→lane move is a small (~1.6 MB) relayout
+    # dOUT rows (r, py_pad) / lanes (px, cb) — pad py to a sublane multiple
+    # so the outer merge is aligned (generic like the forward: POOLING_SIZE
+    # may exceed 8); the px sublane→lane move is a small (~1.6 MB) relayout
     dout = g_ref[:, :, :, :]                                  # (RT, py, px, CB)
-    pp = 8
+    pp = (p + 7) // 8 * 8
     dout = jnp.pad(dout, ((0, 0), (0, pp - p), (0, 0), (0, 0)))
     dout2 = dout.reshape(ROI_TILE * pp, p * cb)
 

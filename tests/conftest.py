@@ -82,10 +82,11 @@ def make_voc(voc_root, split="test"):
     from frcnn_tpu.data.pascal_voc import pascal_voc
 
     root, gt = voc_root
-    ds = pascal_voc(split, "2007", devkit_path=osp.join(root, "VOCdevkit2007"))
-    cache = osp.join(root, "cache", split)
-    os.makedirs(cache, exist_ok=True)
-    type(ds).cache_path = property(lambda self, c=cache: c)
+    # data_dir redirects cache_path per-instance (a class-level monkeypatch
+    # here used to leak the last caller's cache dir to later instances)
+    ds = pascal_voc(split, "2007", devkit_path=osp.join(root, "VOCdevkit2007"),
+                    data_dir=root)
+    os.makedirs(osp.join(root, "cache"), exist_ok=True)
     return ds, gt
 
 
@@ -149,8 +150,6 @@ def make_coco(coco_root):
 
     from frcnn_tpu.data.coco import coco
 
-    ds = coco("train", "2014", data_path=coco_root)
-    cache = osp.join(coco_root, "cache")
-    os.makedirs(cache, exist_ok=True)
-    type(ds).cache_path = property(lambda self, c=cache: c)
+    ds = coco("train", "2014", data_path=coco_root, data_dir=coco_root)
+    os.makedirs(osp.join(coco_root, "cache"), exist_ok=True)
     return ds

@@ -106,11 +106,12 @@ def test_minibatch_shapes(voc_root):
     assert b == 2 and c == 3 and (h, w) in cfg.TPU.BUCKETS
     assert blobs["gt_boxes"].shape == (2, 8, 4)
     assert blobs["im_info"].shape == (2, 3)
-    # scaled gt stays inside the scaled image
+    # scaled gt stays inside the scaled image (an image whose boxes are all
+    # difficult legitimately has no valid gt)
+    assert blobs["gt_valid"].any()
     for i in range(2):
         ih, iw, s = blobs["im_info"][i]
         gtv = blobs["gt_valid"][i]
-        assert gtv.any()
         gb = blobs["gt_boxes"][i][gtv]
         assert (gb[:, 2] <= iw + 1).all() and (gb[:, 3] <= ih + 1).all()
         assert (blobs["gt_labels"][i][gtv] > 0).all()
@@ -292,3 +293,47 @@ def test_decoded_image_cache(voc_root, tmp_path):
     np.testing.assert_array_equal(cache.reader(p0), reopened.reader(p0))
     again = DecodedImageCache.build([p0], prefix, verbose=False)
     assert p0 in again
+
+def test_orientation_homogeneous_batches():
+    """With multi-image batches and both bucket orientations, every full
+    batch must be orientation-pure (else it would snap to the oversized
+    union bucket); partial tail groups sit at the end of the permutation."""
+    from frcnn_tpu.data.loader import RoIDataLayer
+
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, TRAIN=dataclasses.replace(cfg.TRAIN, IMS_PER_BATCH=4))
+    assert len(cfg.TPU.BUCKETS) > 1  # both orientations configured
+    rng = np.random.RandomState(0)
+    roidb = []
+    for i in range(37):
+        h, w = (480, 640) if rng.rand() < 0.6 else (640, 480)
+        roidb.append({"width": w, "height": h, "image": f"im{i}.jpg"})
+    layer = RoIDataLayer(roidb, cfg)
+    horz = np.array([r["width"] >= r["height"] for r in roidb])
+    n_full = len(roidb) // 4
+    perm = layer._perm
+    seen = set()
+    n_pure = 0
+    for bi in range(n_full):
+        batch = perm[bi * 4:(bi + 1) * 4]
+        seen.update(batch.tolist())
+        if len(set(horz[batch])) == 1:
+            n_pure += 1
+    # every batch made only of full groups is pure; at most 2 partial
+    # groups can form one mixed boundary batch
+    assert n_pure >= n_full - 1
+    assert len(set(perm.tolist())) == len(roidb)  # permutation intact
+
+
+def test_bucket_fallback_keeps_orientation():
+    """When no bucket fits, pick the bucket losing the least resolution —
+    a portrait image must fall back to the portrait bucket, not shrink
+    ~2x into the landscape one."""
+    from frcnn_tpu.data.loader import pick_scale_and_bucket
+
+    buckets = ((608, 1024), (1024, 608))
+    # portrait 1100x660 after scaling (COCO-style 800/1333 resize)
+    scale, bucket = pick_scale_and_bucket(1100, 660, 800, 1333, buckets)
+    assert bucket == (1024, 608)
+    assert scale > 0.55  # old largest-area fallback gave ~0.55x

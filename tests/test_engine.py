@@ -240,7 +240,8 @@ def test_train_with_image_cache(voc_root, tmp_path):
     model = build_model("mobile", ds.num_classes, cfg)
     train_net(model, ds, roidb, None, out_dir,
               tb_dir=osp.join(out_dir, "tb"), cfg=cfg, max_iters=2)
-    assert osp.exists(osp.join(out_dir, "image_cache.dat"))
+    # cache lives at the dataset level (shared across experiments)
+    assert osp.exists(osp.join(ds.cache_path, f"{ds.name}_decoded.dat"))
     lines = [eval(line.replace("true", "True")) for line in
              open(osp.join(out_dir, "train_log.jsonl"))]
     assert np.isfinite(lines[-1]["total_loss"])

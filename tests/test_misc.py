@@ -46,22 +46,32 @@ def test_nms_batched_kernel_matches_reference(rng):
 def test_nms_batched_kernel_capped_prefix_exact(rng):
     """The early-exit cap (max_keep) must leave the first max_keep kept
     entries per problem bit-identical to uncapped greedy — the contract
-    nms_fixed_batched relies on to skip tiles once every problem has
-    max_keep kept boxes."""
+    nms_fixed_batched relies on to skip tiles once every problem is
+    settled.  Three regimes: b=8 (no padding → the block can actually go
+    'done' mid-grid), b=2 (B-padding rows must count as settled, not stall
+    the exit), and sparse validity (problems with fewer than cap valid
+    boxes settle by exhaustion, not by count)."""
     from frcnn_tpu.ops.nms import nms_mask
     from frcnn_tpu.ops.pallas.nms_kernel import nms_mask_pallas_batched
 
     interpret = jax.default_backend() != "tpu"
-    b, n, cap = 2, 512, 20
-    boxes = np.stack([_clustered_sorted(rng, n) for _ in range(b)])
-    got = np.asarray(nms_mask_pallas_batched(
-        jnp.asarray(boxes), 0.5, interpret=interpret, max_keep=cap))
-    for i in range(b):
-        ref = np.asarray(nms_mask(jnp.asarray(boxes[i]), 0.5))
-        assert ref.sum() > cap  # the cap must actually bind for this test
-        # kept-first rank order: the first `cap` kept indices must agree
-        np.testing.assert_array_equal(np.where(got[i])[0][:cap],
-                                      np.where(ref)[0][:cap])
+    n, cap = 512, 20
+    for b, sparse in ((8, False), (2, False), (8, True)):
+        boxes = np.stack([_clustered_sorted(rng, n) for _ in range(b)])
+        valid = np.ones((b, n), bool)
+        if sparse:
+            valid[0, 10:] = False   # settles by exhaustion (10 < cap)
+            valid[3, 300:] = False
+        got = np.asarray(nms_mask_pallas_batched(
+            jnp.asarray(boxes), 0.5, valid=jnp.asarray(valid),
+            interpret=interpret, max_keep=cap))
+        for i in range(b):
+            ref = np.asarray(nms_mask(jnp.asarray(boxes[i]), 0.5,
+                                      valid=jnp.asarray(valid[i])))
+            if not (sparse and i == 0):
+                assert ref.sum() > cap  # cap binds except by construction
+            np.testing.assert_array_equal(np.where(got[i])[0][:cap],
+                                          np.where(ref)[0][:cap])
 
 
 def test_nms_fixed_batched_matches_unbatched(rng):
