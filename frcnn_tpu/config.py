@@ -85,6 +85,9 @@ class TrainConfig:
     WARMUP_FACTOR: float = 0.1    # starting lr fraction during warmup
     IMAGE_CACHE: bool = False     # memmap decoded-image cache (data/cache.py);
     #                               skips per-epoch JPEG decode on slow hosts
+    NATIVE_PREP: bool = True      # C++ threaded decode/resize/pad worker
+    #                               (native/data_prep.cc); bit-identical to
+    #                               the cv2 python path, silent fallback
 
 
 @dataclass(frozen=True)

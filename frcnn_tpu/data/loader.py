@@ -106,31 +106,67 @@ def get_minibatch(roidb, cfg: Config, rng: np.random.RandomState | None = None,
     buckets = cfg.TPU.BUCKETS
     max_gt = cfg.TPU.MAX_GT
 
-    images, infos, gtb, gtl, gtv = [], [], [], [], []
-    prepped = []
-    for entry in roidb:
-        im = (reader or cv2.imread)(entry["image"])
-        assert im is not None, f"failed to read {entry['image']}"
-        if entry.get("flipped", False):
-            im = im[:, ::-1, :]
-        # scale sampled per image from cfg.TRAIN.SCALES (reference
-        # minibatch.py samples npr.randint per image the same way)
-        target = t.SCALES[rng.randint(0, len(t.SCALES))] if len(t.SCALES) > 1 \
-            else t.SCALES[0]
-        padded, scale = prep_im_for_blob(im, target, t.MAX_SIZE, buckets)
-        prepped.append((entry, im.shape[:2], padded, scale))
-    # all images of the batch share one static shape: the smallest bucket
-    # covering every per-image bucket (componentwise, NOT lexicographic max)
-    bucket_hw = snap_to_bucket([p[2].shape[:2] for p in prepped], buckets)
+    # per-image scale sampled from cfg.TRAIN.SCALES (reference minibatch.py
+    # samples npr.randint per image the same way)
+    targets = [t.SCALES[rng.randint(0, len(t.SCALES))] if len(t.SCALES) > 1
+               else t.SCALES[0] for _ in roidb]
 
-    for entry, (h, w), padded, scale in prepped:
-        if padded.shape[:2] != bucket_hw:  # re-pad smaller buckets up
-            up = np.zeros(bucket_hw + (3,), dtype=np.float32)
-            up[: padded.shape[0], : padded.shape[1]] = padded
-            padded = up
-        images.append(padded)
+    images, infos, gtb, gtl, gtv = [], [], [], [], []
+    entry_dims, scales = [], []
+
+    # Native threaded path (decode+flip+resize+pad in C++, pixel-equal
+    # within <=1e-4 — see native/data_prep.cc): possible when no cache
+    # reader overrides the decode and the entries carry their stored dims
+    # (scale and bucket choice then need no pixels).
+    native_ok = (reader is None and t.NATIVE_PREP
+                 and all("width" in e and "height" in e for e in roidb))
+    if native_ok:
+        from frcnn_tpu.native import data_prep
+
+        per_bucket = []
+        for entry, target in zip(roidb, targets):
+            scale, bkt = pick_scale_and_bucket(
+                entry["height"], entry["width"], target, t.MAX_SIZE, buckets)
+            scales.append(scale)
+            per_bucket.append(bkt)
+            entry_dims.append((entry["height"], entry["width"]))
+        bucket_hw = snap_to_bucket(per_bucket, buckets)
+        res = data_prep.prep_batch(
+            [e["image"] for e in roidb],
+            [1 if e.get("flipped", False) else 0 for e in roidb],
+            scales, bucket_hw)
+        if res is not None:
+            images = list(res[0])
+        else:
+            native_ok = False  # library unavailable → python path below
+            entry_dims, scales = [], []
+
+    if not native_ok:
+        prepped = []
+        for entry, target in zip(roidb, targets):
+            im = (reader or cv2.imread)(entry["image"])
+            assert im is not None, f"failed to read {entry['image']}"
+            if entry.get("flipped", False):
+                im = im[:, ::-1, :]
+            padded, scale = prep_im_for_blob(im, target, t.MAX_SIZE, buckets)
+            prepped.append((im.shape[:2], padded))
+            scales.append(scale)
+            entry_dims.append(im.shape[:2])
+        # all images of the batch share one static shape: the smallest
+        # bucket covering every per-image bucket (componentwise, NOT
+        # lexicographic max)
+        bucket_hw = snap_to_bucket([p[1].shape[:2] for p in prepped], buckets)
+        for (h, w), padded in prepped:
+            if padded.shape[:2] != bucket_hw:  # re-pad smaller buckets up
+                up = np.zeros(bucket_hw + (3,), dtype=np.float32)
+                up[: padded.shape[0], : padded.shape[1]] = padded
+                padded = up
+            images.append(padded)
+
+    for (h, w), scale in zip(entry_dims, scales):
         infos.append([np.round(h * scale), np.round(w * scale), scale])
 
+    for entry, scale in zip(roidb, scales):
         gt_inds = np.where(entry["gt_classes"] > 0)[0] \
             if "gt_classes" in entry else np.arange(len(entry["boxes"]))
         boxes = entry["boxes"][gt_inds].astype(np.float32) * scale

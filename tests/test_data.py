@@ -280,6 +280,10 @@ def test_decoded_image_cache(voc_root, tmp_path):
     prefix = str(tmp_path / "cache" / "image_cache")
     cache = DecodedImageCache.build([r["image"] for r in ds.roidb], prefix,
                                     verbose=False)
+    # cache-backed batches use the python path; compare against it (the
+    # native C++ path differs by <=1e-4 — covered by its own parity test)
+    cfg = dataclasses.replace(
+        cfg, TRAIN=dataclasses.replace(cfg.TRAIN, NATIVE_PREP=False))
     plain = RoIDataLayer(ds.roidb, cfg)
     cached = RoIDataLayer(ds.roidb, cfg, reader=cache.reader)
     for _ in range(4):  # cycles through flipped entries too
@@ -337,3 +341,35 @@ def test_bucket_fallback_keeps_orientation():
     scale, bucket = pick_scale_and_bucket(1100, 660, 800, 1333, buckets)
     assert bucket == (1024, 608)
     assert scale > 0.55  # old largest-area fallback gave ~0.55x
+
+def test_native_prep_parity(voc_root):
+    """The C++ threaded prep worker must match the python cv2 path within
+    float rounding (<=1e-4 rel: the cv2 wheel bundles its own OpenCV whose
+    INTER_LINEAR tables differ slightly from the system build), including
+    flipped entries and mixed per-image buckets; im_info and gt are exact.
+    Skips when the native lib can't build (no OpenCV dev files)."""
+    from frcnn_tpu.native import data_prep
+    from frcnn_tpu.data.loader import RoIDataLayer
+    from frcnn_tpu.data.roidb import prepare_roidb
+
+    if not data_prep.have_native():
+        pytest.skip("native data_prep unavailable")
+    ds, _ = _make_voc(voc_root, split="trainval")
+    _ = ds.roidb
+    prepare_roidb(ds)
+    ds.append_flipped_images()
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, TPU=dataclasses.replace(cfg.TPU, BUCKETS=((256, 320), (320, 448))),
+        TRAIN=dataclasses.replace(cfg.TRAIN, SCALES=(200,), MAX_SIZE=400,
+                                  IMS_PER_BATCH=2))
+    cfg_py = dataclasses.replace(
+        cfg, TRAIN=dataclasses.replace(cfg.TRAIN, NATIVE_PREP=False))
+    nat = RoIDataLayer(ds.roidb, cfg)
+    py = RoIDataLayer(ds.roidb, cfg_py)
+    for _ in range(4):  # covers flipped entries across the epoch
+        a, b = nat.forward(), py.forward()
+        assert a["data"].shape == b["data"].shape
+        np.testing.assert_allclose(a["data"], b["data"], rtol=1e-4, atol=0.05)
+        np.testing.assert_array_equal(a["im_info"], b["im_info"])
+        np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
