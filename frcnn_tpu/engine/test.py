@@ -48,13 +48,72 @@ def im_detect(model, variables, im, cfg: Config | None = None):
             np.asarray(out["roi_valid"][0]))
 
 
+def _prep_stream(imdb, cfg: Config, batch: int):
+    """Yield (bucket_hw, [(image_idx, blob, info), ...]) detect-ready groups.
+
+    Fast path: when the dataset's roidb carries stored image sizes, the
+    scale/bucket decision (pick_scale_and_bucket) needs no pixels — images
+    are grouped by bucket up front and each batch decodes + resizes + pads
+    inside the native C++ thread pool (data_prep.cc), releasing the GIL so
+    the producer thread truly overlaps the device step.  Fallback: per-image
+    cv2 decode (the reference's _get_blobs path, lib/model/test.py:~L40)."""
+    import cv2
+
+    from frcnn_tpu.data.loader import pick_scale_and_bucket
+
+    t = cfg.TEST
+    buckets = cfg.TPU.BUCKETS
+    try:
+        entries = imdb.roidb
+    except Exception:
+        entries = None
+    use_native = False
+    if (entries is not None and len(entries) >= imdb.num_images
+            and all("width" in e and "height" in e
+                    for e in entries[:imdb.num_images])):
+        from frcnn_tpu.native import data_prep
+
+        use_native = data_prep.have_native()
+
+    if use_native:
+        groups: dict = {}
+        for i in range(imdb.num_images):
+            e = entries[i]
+            scale, bkt = pick_scale_and_bucket(
+                e["height"], e["width"], t.SCALES[0], t.MAX_SIZE, buckets)
+            groups.setdefault(bkt, []).append((i, scale, e["height"], e["width"]))
+        for bkt, items in groups.items():
+            for s in range(0, len(items), batch):
+                part = items[s:s + batch]
+                blob, _ = data_prep.prep_batch(
+                    [imdb.image_path_at(i) for i, _, _, _ in part],
+                    [0] * len(part), [sc for _, sc, _, _ in part], bkt)
+                yield bkt, [
+                    (i, blob[j], np.array(
+                        [np.round(h * sc), np.round(w * sc), sc], np.float32))
+                    for j, (i, sc, h, w) in enumerate(part)]
+        return
+
+    pending: dict = {}  # bucket (h, w) -> [(image_idx, blob, info), ...]
+    for i in range(imdb.num_images):
+        im = cv2.imread(imdb.image_path_at(i))
+        assert im is not None, imdb.image_path_at(i)
+        blob, info = _prep(im, cfg)
+        group = pending.setdefault(blob.shape[:2], [])
+        group.append((i, blob, info))
+        if len(group) == batch:
+            yield blob.shape[:2], group
+            pending[blob.shape[:2]] = []
+    for bucket_hw, group in pending.items():
+        if group:
+            yield bucket_hw, group
+
+
 def test_net(model, variables, imdb, cfg: Config | None = None,
              output_dir: str = "output", max_per_image: int = 100,
              batch: int = 8, verbose: bool = True):
     """Dataset evaluation (reference test_net): returns the eval results dict
     (per-class AP + mAP for VOC; COCO stats for COCO)."""
-    import cv2
-
     cfg = cfg or model.config
     num_images = imdb.num_images
     all_boxes = [[np.zeros((0, 5), np.float32) for _ in range(num_images)]
@@ -98,19 +157,33 @@ def test_net(model, variables, imdb, cfg: Config | None = None,
                   f"{detect_time / len(items):.3f}s "
                   f"{misc_time / len(items):.3f}s")
 
-    pending: dict = {}  # bucket (h, w) -> [(image_idx, blob, info), ...]
-    for i in range(num_images):
-        im = cv2.imread(imdb.image_path_at(i))
-        assert im is not None, imdb.image_path_at(i)
-        blob, info = _prep(im, cfg)
-        group = pending.setdefault(blob.shape[:2], [])
-        group.append((i, blob, info))
-        if len(group) == batch:
-            flush(blob.shape[:2], group)
-            pending[blob.shape[:2]] = []
-    for bucket_hw, group in pending.items():
-        if group:
-            flush(bucket_hw, group)
+    # Host preprocessing (decode + resize + pad) runs in a producer thread so
+    # it overlaps the device's detect step — the reference's test loop
+    # (lib/model/test.py:~L190) serializes cv2 decode with the net forward.
+    # When the dataset exposes stored image sizes, the scale/bucket choice
+    # needs no pixels and whole batches decode in the native C++ thread pool
+    # (native/data_prep.cc) off the GIL.
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=4)
+
+    def produce():
+        try:
+            for item in _prep_stream(imdb, cfg, batch):
+                q.put(item)
+            q.put(None)
+        except BaseException as e:  # re-raised in the consumer
+            q.put(e)
+
+    threading.Thread(target=produce, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        flush(*item)
 
     det_file = osp.join(output_dir, "detections.pkl")
     with open(det_file, "wb") as f:

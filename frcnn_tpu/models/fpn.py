@@ -172,13 +172,17 @@ class FasterRCNNFPN(nn.Module):
         for feat in pyramid:
             b, h, w, _ = feat.shape
             x = nn.relu(self.rpn_net(feat))
-            cls = self.rpn_cls_score(x).reshape(b, h * w * self._A, 2)
+            cls_map = self.rpn_cls_score(x).astype(jnp.float32)  # (B,H,W,2A)
             box = self.rpn_bbox_pred(x).reshape(b, h * w * self._A, 4)
-            cls_list.append(cls.astype(jnp.float32))
+            # sigmoid(fg − bg) ≡ softmax(...)[...,1] without the lane-hostile
+            # (…, 2A) → (K, 2) relayout (see FasterRCNN._rpn)
+            prob_list.append(jax.nn.sigmoid(
+                cls_map[..., 1::2] - cls_map[..., 0::2]).reshape(b, h * w * self._A))
+            cls_list.append(cls_map.reshape(b, h * w * self._A, 2))
             box_list.append(box.astype(jnp.float32))
         cls = jnp.concatenate(cls_list, axis=1)
         box = jnp.concatenate(box_list, axis=1)
-        prob = jax.nn.softmax(cls, axis=-1)[..., 1]
+        prob = jnp.concatenate(prob_list, axis=1)
         return cls, prob, box
 
     def _anchors(self, pyramid):
@@ -237,9 +241,10 @@ class FasterRCNNFPN(nn.Module):
         top_scores, top_idx = jax.lax.top_k(scores, scores.shape[1])
         top_boxes = jnp.take_along_axis(proposals, top_idx[..., None], axis=1)
         top_valid = top_scores > NEG_INF / 2
+        # cross-level top_k output is already descending → skip the re-sort
         keep_idx, keep_valid = nms_fixed_batched(
             top_boxes, top_scores, thresh, post, valid=top_valid,
-            use_pallas=cfg.TPU.USE_PALLAS)
+            use_pallas=cfg.TPU.USE_PALLAS, presorted=True)
         rois = jnp.take_along_axis(top_boxes, keep_idx[..., None], axis=1)
         roi_scores = jnp.where(
             keep_valid, jnp.take_along_axis(top_scores, keep_idx, axis=1), 0.0)

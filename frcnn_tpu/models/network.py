@@ -147,12 +147,21 @@ class FasterRCNN(nn.Module):
 
     def _rpn(self, feat):
         """RPN conv head → (cls_logits (B,K,2), fg_prob (B,K), deltas (B,K,4))
-        in anchor order (row-major cells, A contiguous per cell)."""
+        in anchor order (row-major cells, A contiguous per cell).
+
+        fg_prob is computed straight off the (B,H,W,2A) conv map as
+        sigmoid(fg_logit − bg_logit) — identical to softmax(...)[..., 1] but
+        without the (…, 2A) → (K, 2) relayout, which Mosaic handles badly
+        (measured 0.56 ms vs 0.003 ms at the detect shape).  The (B,K,2)
+        logits reshape is only materialized for the train loss; XLA removes
+        it from the detect graph where `cls` is unused."""
         b, h, w, _ = feat.shape
         x = nn.relu(self.rpn_net(feat))
-        cls = self.rpn_cls_score(x).reshape(b, h * w * self._A, 2).astype(jnp.float32)
+        cls_map = self.rpn_cls_score(x).astype(jnp.float32)  # (B,H,W,2A)
         box = self.rpn_bbox_pred(x).reshape(b, h * w * self._A, 4).astype(jnp.float32)
-        prob = jax.nn.softmax(cls, axis=-1)[..., 1]
+        prob = jax.nn.sigmoid(
+            cls_map[..., 1::2] - cls_map[..., 0::2]).reshape(b, h * w * self._A)
+        cls = cls_map.reshape(b, h * w * self._A, 2)
         return cls, prob, box
 
     def _anchors(self, feat_shape):

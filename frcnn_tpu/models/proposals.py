@@ -75,9 +75,11 @@ def proposal_layer_batch(scores, deltas, anchors, im_info, *, pre_nms_top_n: int
     top_boxes = jnp.take_along_axis(proposals, top_idx[..., None], axis=1)
     top_valid = top_scores > NEG_INF / 2
 
+    # top_k output is descending with invalid (NEG_INF) entries last — the
+    # re-sort inside nms_fixed_batched would be an identity permutation
     keep_idx, keep_valid = nms_fixed_batched(
         top_boxes, top_scores, nms_thresh, post_nms_top_n, valid=top_valid,
-        use_pallas=use_pallas)                             # (B, P)
+        use_pallas=use_pallas, presorted=True)             # (B, P)
     rois = jnp.take_along_axis(top_boxes, keep_idx[..., None], axis=1)
     roi_scores = jnp.where(keep_valid,
                            jnp.take_along_axis(top_scores, keep_idx, axis=1),

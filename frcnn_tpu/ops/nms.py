@@ -147,21 +147,30 @@ def nms_fixed(boxes, scores, thresh, max_out: int, valid=None, use_pallas: bool 
 
 
 def nms_fixed_batched(boxes, scores, thresh, max_out: int, valid=None,
-                      use_pallas: bool = True):
+                      use_pallas: bool = True, presorted: bool = False):
     """Batched ``nms_fixed``: boxes (B, N, 4), scores (B, N), valid (B, N)
     → (indices (B, max_out) int32, keep_valid (B, max_out)).
 
     On TPU all B problems run in ONE Pallas launch (the batched kernel uses
     the sublanes the single-problem walk leaves idle); elsewhere the blocked
     jnp reference is vmapped.
+
+    ``presorted=True`` asserts the caller's boxes/scores are already in
+    descending score order with every invalid entry after every valid one
+    (e.g. straight out of ``lax.top_k``): the score argsort and its (N, 4)
+    box gather — measured ~0.5 ms at the proposal shape — are skipped.
     """
     b, n = scores.shape
     if valid is None:
         valid = jnp.ones((b, n), dtype=bool)
-    s = jnp.where(valid, scores, NEG_INF)
-    order = jnp.argsort(-s, axis=1)                       # (B, N)
-    sboxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
-    svalid = jnp.take_along_axis(valid, order, axis=1)
+    if presorted:
+        sboxes, svalid = boxes, valid
+        order = None
+    else:
+        s = jnp.where(valid, scores, NEG_INF)
+        order = jnp.argsort(-s, axis=1)                   # (B, N)
+        sboxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+        svalid = jnp.take_along_axis(valid, order, axis=1)
 
     if use_pallas and n >= 128 and jax.default_backend() == "tpu":
         from frcnn_tpu.ops.pallas.nms_kernel import nms_mask_pallas_batched
@@ -176,8 +185,13 @@ def nms_fixed_batched(boxes, scores, thresh, max_out: int, valid=None,
     rank = jnp.where(keep, jnp.arange(n)[None, :], n)
     take = jnp.argsort(rank, axis=1)[:, :max_out]
     out_valid = jnp.take_along_axis(keep, take, axis=1)
-    gathered = jnp.take_along_axis(order, take, axis=1)
-    out_idx = jnp.where(out_valid, gathered, order[:, :1]).astype(jnp.int32)
+    if presorted:
+        gathered = take
+        fallback = jnp.zeros((b, 1), take.dtype)
+    else:
+        gathered = jnp.take_along_axis(order, take, axis=1)
+        fallback = order[:, :1]
+    out_idx = jnp.where(out_valid, gathered, fallback).astype(jnp.int32)
     return out_idx, out_valid
 
 
