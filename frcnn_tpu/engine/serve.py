@@ -69,15 +69,22 @@ class Detector:
 
     def __call__(self, images):
         """images: list of BGR uint8 arrays → list of (k, 6) float arrays
-        [x1, y1, x2, y2, score, class] in original image coordinates."""
+        [x1, y1, x2, y2, score, class] in original image coordinates.
+
+        All bucket groups are dispatched before the first readback: jax
+        dispatch is async, so the device works on group k while the host
+        stacks/pads group k+1, and the readbacks at the end drain in order.
+        """
         results = [None] * len(images)
+        launched = []
         for _, items in self._prep_groups(images).items():
             pad = (-len(items)) % self.n_devices
             data = np.stack([b for _, b, _ in items]
                             + [items[-1][1]] * pad)
             im_info = np.asarray([f for _, _, f in items]
                                  + [items[-1][2]] * pad, np.float32)
-            dets, valid = self.detect_blobs(data, im_info)
+            launched.append((items, self.detect_blobs(data, im_info)))
+        for items, (dets, valid) in launched:
             dets, valid = np.asarray(dets), np.asarray(valid)
             for bi, (i, _, _) in enumerate(items):
                 results[i] = dets[bi][valid[bi]]

@@ -51,7 +51,7 @@ def test_rpn_learns_fg_anchor():
         cfg,
         TRAIN=dataclasses.replace(cfg.TRAIN, RPN_PRE_NMS_TOP_N=256,
                                   RPN_POST_NMS_TOP_N=64, BATCH_SIZE=32,
-                                  RPN_BATCHSIZE=64, LEARNING_RATE=0.01,
+                                  RPN_BATCHSIZE=64, LEARNING_RATE=0.02,
                                   STEPSIZE=(10000,)),
         TPU=dataclasses.replace(cfg.TPU, BUCKETS=((96, 96),), MAX_GT=4,
                                 PIXEL_SCALE=1 / 128.0),
@@ -80,23 +80,36 @@ def test_rpn_learns_fg_anchor():
         u, o = tx.update(g, state["o"], state["p"])
         return {"p": optax.apply_updates(state["p"], u), "o": o}, losses
 
-    first = None
-    for i in range(300):
-        state, losses = step(state, jax.random.PRNGKey(1))
-        if first is None:
-            first = float(losses["total_loss"])
-    last = float(losses["total_loss"])
-    assert last < 0.3 * first, f"no overfit: {first} -> {last}"
-    assert float(losses["rpn_cross_entropy"]) < 0.05
-
     anchors, _ = generate_anchors_pre(6, 6, 16, scales=(2.0, 4.0))
+    ov = np.asarray(bbox_overlaps(anchors, gt[0, :1])).max(axis=1)
 
     def fg_probs(m):
         f = m.backbone.extract_features(m._preprocess(jnp.asarray(im)))
         return m._rpn(f)[1]
 
+    def converged(state, losses, first):
+        """The final assertions, with margin — used as the early-exit test so
+        a converged run stops without waiting out all 300 steps."""
+        if not (float(losses["total_loss"]) < 0.28 * first
+                and float(losses["rpn_cross_entropy"]) < 0.04):
+            return False
+        prob = np.asarray(model.apply({"params": state["p"]},
+                                      method=lambda m: fg_probs(m))[0])
+        return (prob[ov >= 0.5].mean() > 0.92
+                and prob[ov >= 0.5].mean() > prob[ov < 0.3].mean() + 0.35)
+
+    first = None
+    for i in range(300):
+        state, losses = step(state, jax.random.PRNGKey(1))
+        if first is None:
+            first = float(losses["total_loss"])
+        if i >= 80 and i % 20 == 0 and converged(state, losses, first):
+            break
+    last = float(losses["total_loss"])
+    assert last < 0.3 * first, f"no overfit: {first} -> {last}"
+    assert float(losses["rpn_cross_entropy"]) < 0.05
+
     prob = np.asarray(model.apply({"params": state["p"]},
                                   method=lambda m: fg_probs(m))[0])
-    ov = np.asarray(bbox_overlaps(anchors, gt[0, :1])).max(axis=1)
     assert prob[ov >= 0.5].mean() > 0.9, "RPN did not learn the fg anchor"
     assert prob[ov >= 0.5].mean() > prob[ov < 0.3].mean() + 0.3

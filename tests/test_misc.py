@@ -230,3 +230,20 @@ def test_ds_utils(rng):
     ds_utils.validate_boxes(boxes, width=20, height=20)
     with pytest.raises(AssertionError):
         ds_utils.validate_boxes(np.array([[5, 5, 3, 8]], float), 20, 20)
+
+def test_cli_accepts_all_model_variants(monkeypatch):
+    """Every build_model name — including the FPN variants — must be reachable
+    from the three CLIs' --net flag (regression: FPN nets existed in the
+    factory but the argparse choices lists didn't offer them)."""
+    import importlib
+
+    nets = ["vgg16", "res50", "res101", "res152", "mobile",
+            "res50_fpn", "res101_fpn", "res50_fpn_gn", "res101_fpn_gn"]
+    for mod_name, extra in (("tools.trainval_net", []),
+                            ("tools.test_net", ["--model", "x.ckpt"]),
+                            ("tools.demo",
+                             ["--model", "x.ckpt", "--images", "a.jpg"])):
+        mod = importlib.import_module(mod_name)
+        for net in nets:
+            monkeypatch.setattr("sys.argv", [mod_name, "--net", net] + extra)
+            assert mod.parse_args().net == net

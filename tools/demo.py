@@ -17,7 +17,10 @@ NMS_THRESH = 0.3
 def parse_args():
     parser = argparse.ArgumentParser(description="Faster R-CNN demo")
     parser.add_argument("--net", dest="net", default="res50",
-                        choices=["vgg16", "res50", "res101", "res152", "mobile"])
+                        choices=["vgg16", "res50", "res101", "res152", "mobile",
+                                 "res50_fpn", "res101_fpn", "res152_fpn",
+                                 "res50_fpn_gn", "res101_fpn_gn",
+                                 "res152_fpn_gn"])
     parser.add_argument("--model", dest="model_ckpt", required=True)
     parser.add_argument("--cfg", dest="cfg_file", default=None)
     parser.add_argument("--images", nargs="+", required=True)

@@ -21,7 +21,10 @@ def parse_args():
     parser.add_argument("--num_dets", dest="max_per_image", type=int, default=100)
     parser.add_argument("--tag", dest="tag", default="")
     parser.add_argument("--net", dest="net", default="res50",
-                        choices=["vgg16", "res50", "res101", "res152", "mobile"])
+                        choices=["vgg16", "res50", "res101", "res152", "mobile",
+                                 "res50_fpn", "res101_fpn", "res152_fpn",
+                                 "res50_fpn_gn", "res101_fpn_gn",
+                                 "res152_fpn_gn"])
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--set", dest="set_cfgs", nargs=argparse.REMAINDER,

@@ -29,7 +29,10 @@ def parse_args():
     parser.add_argument("--iters", dest="max_iters", type=int, default=70000)
     parser.add_argument("--tag", dest="tag", default=None)
     parser.add_argument("--net", dest="net", default="res50",
-                        choices=["vgg16", "res50", "res101", "res152", "mobile"])
+                        choices=["vgg16", "res50", "res101", "res152", "mobile",
+                                 "res50_fpn", "res101_fpn", "res152_fpn",
+                                 "res50_fpn_gn", "res101_fpn_gn",
+                                 "res152_fpn_gn"])
     parser.add_argument("--data-parallel", dest="data_parallel", type=int,
                         default=0, help="shard batches over N devices (0 = off)")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
