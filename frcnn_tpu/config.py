@@ -164,6 +164,10 @@ class TPUConfig:
     PIXEL_SCALE: float = 1.0
     ROI_SAMPLING_RATIO: int = 2             # RoIAlign samples per bin side
     USE_PALLAS: bool = True                 # Pallas kernels on TPU, jnp ref elsewhere
+    # Fused single-kernel Pallas bottleneck blocks for the bandwidth-bound
+    # ResNet stages (ops/pallas/fused_block.py); auto-gated to stride-1 +
+    # frozen-BN + bf16 + TPU, so this is a kill switch, not a promise.
+    FUSED_RESNET_BLOCKS: bool = True
     MESH_AXIS: str = "data"                 # 1-D data-parallel mesh axis name
     REMAT: bool = False                     # jax.checkpoint the backbone
     PROFILE_DIR: str = ""                   # jax.profiler trace dir ("" = off)

@@ -167,14 +167,41 @@ def make_norm(norm: str, dtype):
     raise ValueError(f"unknown norm: {norm}")
 
 
+class _ConvKernel(nn.Module):
+    """Declares a conv kernel param without computing the conv — the fused
+    Pallas block path consumes raw weights but must keep the param tree
+    identical to the nn.Conv path (checkpoints / weight conversion)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", conv_init, self.shape, jnp.float32)
+
+
 class Bottleneck(nn.Module):
     channels: int  # bottleneck width; output is channels * 4
     stride: int = 1
     dtype: Any = jnp.float32
     norm: str = "frozen_bn"
+    # Allow the fused single-kernel Pallas path (ops/pallas/fused_block.py)
+    # where it applies: stride-1 + frozen-BN + bf16 + TPU backend + a spatial
+    # extent worth tiling (the 7x7-crop tail and CPU tests keep XLA convs).
+    fused: bool = False
+
+    def _use_fused(self, x) -> bool:
+        if not (self.fused and self.stride == 1 and self.norm == "frozen_bn"
+                and self.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"):
+            return False
+        from frcnn_tpu.ops.pallas.fused_block import pick_row_tile
+        h = x.shape[1]
+        return h >= 16 and pick_row_tile(h, x.shape[2], self.channels) is not None
 
     @nn.compact
     def __call__(self, x):
+        if self._use_fused(x):
+            return self._fused_call(x)
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype, kernel_init=conv_init)
         bn = make_norm(self.norm, self.dtype)
         residual = x
@@ -194,6 +221,33 @@ class Bottleneck(nn.Module):
                             strides=(self.stride, self.stride), name="downsample_conv")(x)
             residual = bn(name="downsample_bn")(residual)
         return nn.relu(y + residual)
+
+    def _fused_call(self, x):
+        """Same block as one Pallas kernel: identical param tree, frozen-BN
+        affines folded into the conv weights (bn(conv(v)) == v@(W*mul)+add).
+        Forward/backward parity vs the conv path is asserted in
+        tests/test_pallas_kernels.py."""
+        from frcnn_tpu.ops.pallas import fused_block as fb
+        mid = self.channels
+        cin = x.shape[-1]
+        cout = mid * 4
+        bn = make_norm(self.norm, self.dtype)
+        k1 = _ConvKernel((1, 1, cin, mid), name="conv1")()
+        m1, a1 = bn(name="bn1")(channels=mid)
+        k2 = _ConvKernel((3, 3, mid, mid), name="conv2")()
+        m2, a2 = bn(name="bn2")(channels=mid)
+        k3 = _ConvKernel((1, 1, mid, cout), name="conv3")()
+        m3, a3 = bn(name="bn3")(channels=cout)
+        w1 = k1[0, 0].astype(self.dtype) * m1
+        w2cat = (k2.astype(self.dtype) * m2).reshape(9 * mid, mid)
+        w3 = k3[0, 0].astype(self.dtype) * m3
+        if cin != cout:
+            kd = _ConvKernel((1, 1, cin, cout), name="downsample_conv")()
+            md, ad = bn(name="downsample_bn")(channels=cout)
+            return fb.fused_bottleneck_ds_vjp(
+                x, w1, a1, w2cat, a2, w3, a3,
+                kd[0, 0].astype(self.dtype) * md, ad)
+        return fb.fused_bottleneck_vjp(x, w1, a1, w2cat, a2, w3, a3)
 
 
 def pack_images(images, block: int):
@@ -354,6 +408,7 @@ class _StemConv(nn.Module):
 class _ResNetTrunk(nn.Module):
     depth: int = 50
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -365,7 +420,7 @@ class _ResNetTrunk(nn.Module):
         ):
             for bi in range(n):
                 x = Bottleneck(ch, stride if bi == 0 else 1, dtype=self.dtype,
-                               name=f"layer{li}_block{bi}")(x)
+                               fused=self.fused, name=f"layer{li}_block{bi}")(x)
         return x  # (H/16, W/16, 1024)
 
 
@@ -391,12 +446,14 @@ class ResNetV1(nn.Module):
     dtype: Any = jnp.float32
     feat_channels: int = 1024
     tail_dim: int = 2048
+    fused: bool = True   # fused Pallas blocks (auto-gated; see Bottleneck)
     # preferred host-packed input layout (see pack_images/_StemConv): the
     # frozen-BN stem consumes (B, H, W/4, 12) directly
     input_block: int = 4
 
     def setup(self):
-        self.trunk = _ResNetTrunk(depth=self.depth, dtype=self.dtype, name="trunk")
+        self.trunk = _ResNetTrunk(depth=self.depth, dtype=self.dtype,
+                                  fused=self.fused, name="trunk")
         self.tail = _ResNetTail(depth=self.depth, dtype=self.dtype, name="tail")
 
     def extract_features(self, x):
@@ -540,7 +597,8 @@ def build_backbone(name: str, cfg, dtype=jnp.float32):
     if name == "vgg16":
         return VGG16(dtype=dtype)
     if name in ("res50", "res101", "res152"):
-        return ResNetV1(depth=int(name[3:]), dtype=dtype)
+        return ResNetV1(depth=int(name[3:]), dtype=dtype,
+                        fused=cfg.TPU.FUSED_RESNET_BLOCKS)
     if name.startswith("mobile"):
         return MobileNetV1(depth_multiplier=cfg.MOBILENET.DEPTH_MULTIPLIER, dtype=dtype)
     raise ValueError(

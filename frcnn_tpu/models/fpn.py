@@ -40,6 +40,7 @@ class _ResNetStages(nn.Module):
     depth: int = 101
     dtype: Any = jnp.float32
     norm: str = "frozen_bn"
+    fused: bool = False  # fused Pallas bottlenecks (auto-gated; see Bottleneck)
 
     @nn.compact
     def __call__(self, x):
@@ -63,7 +64,8 @@ class _ResNetStages(nn.Module):
                 zip(blocks, (64, 128, 256, 512), (1, 2, 2, 2)), start=1):
             for bi in range(n):
                 x = Bottleneck(ch, stride if bi == 0 else 1, dtype=self.dtype,
-                               norm=self.norm, name=f"layer{li}_block{bi}")(x)
+                               norm=self.norm, fused=self.fused,
+                               name=f"layer{li}_block{bi}")(x)
             outs.append(x)
         return outs  # [C2, C3, C4, C5]
 
@@ -135,7 +137,9 @@ class FasterRCNNFPN(nn.Module):
         cfg = self.config
         init = nn.initializers.normal
         self.stages = _ResNetStages(depth=self.depth, dtype=self.dtype,
-                                    norm=self.norm, name="stages")
+                                    norm=self.norm,
+                                    fused=cfg.TPU.FUSED_RESNET_BLOCKS,
+                                    name="stages")
         self.neck = FPNNeck(out_channels=cfg.FPN.OUT_CHANNELS, dtype=self.dtype,
                             name="neck")
         self.box_head = _FPNBoxHead(dtype=self.dtype, name="box_head")

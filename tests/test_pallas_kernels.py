@@ -101,3 +101,72 @@ def test_roi_align_pallas_matches_reference(rng):
     gr = jax.grad(lambda f: (roi_align(f, rois) ** 2).sum())(feat)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_fused_bottleneck_interpret(rng):
+    """Fused bottleneck block (fwd + custom VJP) through the interpreter —
+    multi-tile (exercises the halo rows) + identity and projection residuals
+    vs the lax-conv reference."""
+    from frcnn_tpu.ops.pallas.fused_block import (
+        bottleneck_reference, fused_bottleneck, fused_bottleneck_vjp,
+        pick_row_tile)
+
+    def t(*s):
+        return jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+
+    b, h, w, mid = 2, 48, 16, 8
+    assert pick_row_tile(h, w, mid, 4) == 16  # 3 row tiles
+    for cin, ds in ((32, False), (24, True)):
+        x = t(b, h, w, cin)
+        args = (t(cin, mid), t(mid), t(3, 3, mid, mid), t(mid),
+                t(mid, 32), t(32))
+        dsa = (t(cin, 32), t(32)) if ds else (None, None)
+        want = bottleneck_reference(x, *args, *dsa)
+        w2cat = args[2].reshape(9 * mid, mid)
+        fargs = (args[0], args[1], w2cat, *args[3:])
+        got = fused_bottleneck(x, *fargs, *dsa, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+    # custom-VJP parity on the identity variant (the training path)
+    import jax.experimental.pallas.tpu as pltpu  # noqa: F401  (namespace)
+    from jax.experimental.pallas import tpu as _tpu
+
+    x = t(b, h, w, 32)
+    args = (t(32, mid), t(mid), t(3, 3, mid, mid), t(mid), t(mid, 32), t(32))
+    with _tpu.force_tpu_interpret_mode():
+        gp = jax.grad(lambda v: (fused_bottleneck_vjp(
+            v, args[0], args[1], args[2].reshape(9 * mid, mid),
+            *args[3:]) ** 2).sum())(x)
+    gr = jax.grad(lambda v: (bottleneck_reference(v, *args) ** 2).sum())(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_bottleneck_module_parity(rng, monkeypatch):
+    """The Bottleneck module's fused path: identical param tree to the conv
+    path and matching outputs with shared params (gate forced on, kernel
+    interpreted)."""
+    from flax.core import unfreeze
+    from jax.experimental.pallas import tpu as _tpu
+
+    from frcnn_tpu.models.backbones import Bottleneck
+
+    x = jnp.asarray(rng.randn(1, 32, 16, 16).astype(np.float32), jnp.bfloat16)
+    plain = Bottleneck(4, dtype=jnp.bfloat16, fused=False)
+    fused = Bottleneck(4, dtype=jnp.bfloat16, fused=True)
+    monkeypatch.setattr(Bottleneck, "_use_fused", lambda self, v: self.fused)
+    with _tpu.force_tpu_interpret_mode():
+        vp = plain.init(jax.random.PRNGKey(0), x)
+        vf = fused.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(unfreeze(vp))
+                == jax.tree_util.tree_structure(unfreeze(vf)))
+        for a, b in zip(jax.tree_util.tree_leaves(vp),
+                        jax.tree_util.tree_leaves(vf)):
+            assert a.shape == b.shape and a.dtype == b.dtype
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree_util.tree_leaves(vp)[0]),
+            np.asarray(jax.tree_util.tree_leaves(vf)[0]))
+        out_p = np.asarray(plain.apply(vp, x), np.float32)
+        out_f = np.asarray(fused.apply(vp, x), np.float32)
+    scale = max(np.abs(out_p).max(), 1e-6)
+    assert np.abs(out_p - out_f).max() / scale < 2e-2  # bf16 rounding only
