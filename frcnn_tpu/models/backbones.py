@@ -405,6 +405,14 @@ class _StemConv(nn.Module):
                            rmax[:, :, :, 1])  # (b, P, Q, f)
 
 
+# Stage-width cap for the fused Pallas bottleneck path: only stages at or
+# below this bottleneck width use the fused kernel.  The wide stages are
+# MXU-bound under XLA already; in-situ per-stage A/B (docs/PROFILE_r02.md
+# section 6b) shows layer1 (64) -1.6 ms, layer2 (128) neutral, layer3 (256)
+# +1.0 ms when fused.  scripts/probe_fused_insitu.py overrides this for A/Bs.
+FUSED_MAX_CH = 128
+
+
 class _ResNetTrunk(nn.Module):
     depth: int = 50
     dtype: Any = jnp.float32
@@ -420,7 +428,8 @@ class _ResNetTrunk(nn.Module):
         ):
             for bi in range(n):
                 x = Bottleneck(ch, stride if bi == 0 else 1, dtype=self.dtype,
-                               fused=self.fused, name=f"layer{li}_block{bi}")(x)
+                               fused=self.fused and ch <= FUSED_MAX_CH,
+                               name=f"layer{li}_block{bi}")(x)
         return x  # (H/16, W/16, 1024)
 
 

@@ -63,8 +63,12 @@ class _ResNetStages(nn.Module):
         for li, (n, ch, stride) in enumerate(
                 zip(blocks, (64, 128, 256, 512), (1, 2, 2, 2)), start=1):
             for bi in range(n):
+                # narrow stages only — see backbones.FUSED_MAX_CH
+                from frcnn_tpu.models import backbones as _bb
+
                 x = Bottleneck(ch, stride if bi == 0 else 1, dtype=self.dtype,
-                               norm=self.norm, fused=self.fused,
+                               norm=self.norm,
+                               fused=self.fused and ch <= _bb.FUSED_MAX_CH,
                                name=f"layer{li}_block{bi}")(x)
             outs.append(x)
         return outs  # [C2, C3, C4, C5]

@@ -38,7 +38,18 @@ def main():
         rng.uniform(0, 255, (batch, h, w, 3)).astype(np.float32), 4))
     im_info = jnp.tile(jnp.asarray([[h, w, 1.0]], jnp.float32), (batch, 1))
 
-    for fused in (False, True):
+    from frcnn_tpu.models import backbones as bb
+
+    only = [a for a in sys.argv[1:] if a != "--no-trunk"]
+    no_trunk = "--no-trunk" in sys.argv
+    # (label, FUSED_RESNET_BLOCKS, FUSED_MAX_CH): off / shipped gate (narrow
+    # stages only) / every eligible stage
+    for label, fused, max_ch in (("off", False, bb.FUSED_MAX_CH),
+                                 ("gated128", True, 128),
+                                 ("full", True, 10**9)):
+        if only and label not in only:
+            continue
+        bb.FUSED_MAX_CH = max_ch
         cfg, model = build(fused)
         variables = model.init(jax.random.PRNGKey(0), images[:1], im_info[:1])
 
@@ -54,9 +65,11 @@ def main():
                 method="extract_features")
 
         t_det = slope_time(detect, (images, im_info))
-        t_trunk = slope_time(trunk, (images, im_info))
-        print(f"fused={fused!s:5}  detect {t_det * 1e3:6.2f} ms "
-              f"({batch / t_det:6.1f} img/s)   trunk {t_trunk * 1e3:6.2f} ms")
+        t_trunk = float("nan") if no_trunk else slope_time(trunk,
+                                                           (images, im_info))
+        print(f"{label:9}  detect {t_det * 1e3:6.2f} ms "
+              f"({batch / t_det:6.1f} img/s)   trunk {t_trunk * 1e3:6.2f} ms",
+              flush=True)
 
 
 if __name__ == "__main__":

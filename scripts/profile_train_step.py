@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""On-chip training-step throughput: slope-timed fused fwd+bwd+SGD step.
+
+The reference publishes no train speed (SURVEY.md §6); its loop runs 1
+image/step with ≥4 host↔device round-trips per step (SURVEY.md §3.1).  Ours
+is one jitted step at any IMS_PER_BATCH.  This probe measures pure device
+step time (same in-graph fori_loop slope methodology as bench.py — the
+axon tunnel's block_until_ready is unreliable and each dispatch pays
+~25 ms RPC) at the reference config (batch 1) and the throughput config
+(batch 8), 600×1000-class shapes on the default landscape bucket.
+"""
+
+import dataclasses
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from frcnn_tpu.config import default_config
+from frcnn_tpu.engine.train import make_optimizer
+from frcnn_tpu.models import build_model
+from frcnn_tpu.models.backbones import pack_images
+
+
+def step_time(model, tx, state, feed, n_lo=3, n_hi=9):
+    """Slope-timed seconds per train step."""
+
+    def one_step(state, key):
+        def loss_fn(params):
+            losses, _ = model.apply(
+                {"params": params}, feed["data"], feed["im_info"],
+                feed["gt_boxes"], feed["gt_labels"], feed["gt_valid"], key,
+                method="train_forward", rngs={"dropout": key})
+            return losses["total_loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"])
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt_state": opt_state}, loss
+
+    @jax.jit
+    def loop(state, n):
+        def body(i, carry):
+            st, acc = carry
+            st, loss = one_step(st, jax.random.fold_in(jax.random.PRNGKey(0), i))
+            return st, acc + loss
+        return jax.lax.fori_loop(0, n, body, (state, 0.0))
+
+    st, acc = loop(state, 2)  # compile + warmup
+    _ = np.asarray(acc)
+    times = {}
+    for n in (n_lo, n_hi):
+        t0 = time.perf_counter()
+        _, acc = loop(state, n)
+        _ = np.asarray(acc)
+        times[n] = time.perf_counter() - t0
+    return (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
+
+
+def main():
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, TPU=dataclasses.replace(cfg.TPU, BUCKETS=((608, 1024),)))
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    h, w = cfg.TPU.BUCKETS[0]
+    rng = np.random.RandomState(0)
+
+    for batch in (1, 8):
+        model = build_model("res50", 21, cfg, dtype=dtype)
+        data = pack_images(
+            rng.uniform(0, 255, (batch, h, w, 3)).astype(np.float32),
+            getattr(model, "input_block", 1))
+        g = 8
+        feed = {
+            "data": jnp.asarray(data),
+            "im_info": jnp.tile(jnp.asarray([[h, w, 1.0]], jnp.float32),
+                                (batch, 1)),
+            "gt_boxes": jnp.asarray(
+                rng.uniform(0, 400, (batch, g, 4)).astype(np.float32)),
+            "gt_labels": jnp.asarray(
+                rng.randint(1, 21, (batch, g)).astype(np.int32)),
+            "gt_valid": jnp.ones((batch, g), bool),
+        }
+        # well-formed boxes
+        b0 = np.asarray(feed["gt_boxes"])
+        feed["gt_boxes"] = jnp.asarray(
+            np.concatenate([np.minimum(b0[..., :2], b0[..., 2:] - 16),
+                            np.maximum(b0[..., 2:], b0[..., :2] + 16)], -1))
+        variables = model.init(jax.random.PRNGKey(0), feed["data"][:1],
+                               feed["im_info"][:1])
+        tx, _ = make_optimizer(model, variables["params"], cfg)
+        state = {"params": variables["params"],
+                 "opt_state": tx.init(variables["params"])}
+        dt = step_time(model, tx, state, feed)
+        print(f"batch {batch}: {dt * 1e3:7.2f} ms/step  "
+              f"({batch / dt:6.1f} img/s)")
+
+
+if __name__ == "__main__":
+    main()
