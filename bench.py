@@ -75,13 +75,19 @@ def main():
     _ = np.asarray(out[1])
 
     n_lo, n_hi = (4, 12) if on_tpu else (1, 2)
-    times = {}
-    for n in (n_lo, n_hi):
-        t0 = time.perf_counter()
-        out = detect_loop(variables, images, im_info, n)
-        _ = np.asarray(out[1])  # forces completion
-        times[n] = time.perf_counter() - t0
-    dt = (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
+    # best-of-2 slopes: a single tunnel RPC stall inflates one endpoint and
+    # once produced a 25%-slow outlier (docs/PROFILE_r02.md §1); the minimum
+    # of two independent slopes is still a pure device-time measurement
+    slopes = []
+    for _ in range(2 if on_tpu else 1):
+        times = {}
+        for n in (n_lo, n_hi):
+            t0 = time.perf_counter()
+            out = detect_loop(variables, images, im_info, n)
+            _ = np.asarray(out[1])  # forces completion
+            times[n] = time.perf_counter() - t0
+        slopes.append((times[n_hi] - times[n_lo]) / (n_hi - n_lo))
+    dt = min(slopes)
     ips = batch / dt
 
     print(json.dumps({

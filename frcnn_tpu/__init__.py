@@ -18,4 +18,32 @@ Design stance (not a port):
 
 __version__ = "0.1.0"
 
-from frcnn_tpu.config import cfg, default_config, cfg_from_file, cfg_from_list  # noqa: F401
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (opt-out: FRCNN_TPU_NO_COMPILE_CACHE).
+
+    The full detect/train graphs take minutes to compile on a tunneled TPU;
+    the cache (keyed by HLO hash + compiler version) makes every rerun of
+    bench.py / the CLIs start in seconds.  Only set when the user hasn't
+    configured one; only graphs that took >5 s to compile are written."""
+    import os
+
+    if os.environ.get("FRCNN_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        path = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")), "frcnn_tpu_xla")
+        try:
+            os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except (OSError, AttributeError):  # read-only home / older jax
+            pass
+
+
+_enable_compile_cache()
+
+from frcnn_tpu.config import cfg, default_config, cfg_from_file, cfg_from_list  # noqa: E402,F401
