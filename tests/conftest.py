@@ -15,7 +15,11 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config API works.
-jax.config.update("jax_platforms", "cpu")
+# FRCNN_TPU_TEST_TPU=1 keeps the real backend so the TPU-gated compiled-kernel
+# tests (skipped on CPU) can run on a chip:
+#   FRCNN_TPU_TEST_TPU=1 pytest tests/test_pallas_kernels.py
+if not os.environ.get("FRCNN_TPU_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
