@@ -83,8 +83,10 @@ class TrainConfig:
     GRAD_CLIP: float = 0.0        # global-norm gradient clip (0 = off)
     WARMUP_ITERS: int = 0         # linear lr warmup steps (0 = off)
     WARMUP_FACTOR: float = 0.1    # starting lr fraction during warmup
-    IMAGE_CACHE: bool = False     # memmap decoded-image cache (data/cache.py);
-    #                               skips per-epoch JPEG decode on slow hosts
+    IMAGE_CACHE: bool = False     # memmap resized-image cache (data/cache.py)
+    #                               skips per-epoch JPEG decode AND resize;
+    #                               steady-state host work = pad-copy of
+    #                               cached uint8 pixels
     NATIVE_PREP: bool = True      # C++ threaded decode/resize/pad worker
     #                               (native/data_prep.cc); bit-identical to
     #                               the cv2 python path, silent fallback

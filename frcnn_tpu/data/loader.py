@@ -92,12 +92,15 @@ def get_minibatch(roidb, cfg: Config, rng: np.random.RandomState | None = None,
                   reader=None):
     """Build one fixed-shape minibatch from roidb entries.
 
-    Returns dict: data (B, bh, bw, 3) f32 raw BGR; im_info (B, 3) [h, w,
-    scale] of the *scaled, unpadded* image; gt_boxes (B, MAX_GT, 4) scaled;
-    gt_labels (B, MAX_GT) int32; gt_valid (B, MAX_GT) bool.
+    Returns dict: data (B, bh, bw, 3) raw BGR — f32 from the decode paths,
+    uint8 from the resized cache (cast is in-graph either way); im_info
+    (B, 3) [h, w, scale] of the *scaled, unpadded* image; gt_boxes
+    (B, MAX_GT, 4) scaled; gt_labels (B, MAX_GT) int32; gt_valid (B, MAX_GT)
+    bool.
 
     ``reader`` optionally replaces cv2.imread (→ BGR uint8), e.g.
-    ``DecodedImageCache.reader`` to skip per-epoch JPEG decode.
+    ``DecodedImageCache.reader`` to skip per-epoch JPEG decode — or a
+    ``ResizedImageCache`` instance to skip the per-epoch resize too.
     """
     import cv2
 
@@ -114,11 +117,36 @@ def get_minibatch(roidb, cfg: Config, rng: np.random.RandomState | None = None,
     images, infos, gtb, gtl, gtv = [], [], [], [], []
     entry_dims, scales = [], []
 
+    # Resized-cache path: pixels already stored at their final scale (uint8)
+    # — host work per image is a (flip-)view + pad-copy, and the batch feeds
+    # uint8 (cast + mean-subtract are in-graph, models.backbones
+    # .preprocess_images).  Falls through to the decode paths below when an
+    # entry is missing or was built under a different resize config.
+    from frcnn_tpu.data.cache import ResizedImageCache
+
+    if isinstance(reader, ResizedImageCache) \
+            and all("width" in e and "height" in e for e in roidb):
+        got = [reader.get(e["image"], tg, t.MAX_SIZE, buckets)
+               for e, tg in zip(roidb, targets)]
+        if all(g is not None for g in got):
+            scales = [g[1] for g in got]
+            entry_dims = [(e["height"], e["width"]) for e in roidb]
+            bucket_hw = snap_to_bucket([g[0].shape[:2] for g in got], buckets)
+            bh, bw = bucket_hw
+            for e, (im, _) in zip(roidb, got):
+                if e.get("flipped", False):
+                    im = im[:, ::-1]
+                blob = np.zeros((bh, bw, 3), np.uint8)
+                blob[: min(im.shape[0], bh), : min(im.shape[1], bw)] = \
+                    im[:bh, :bw]
+                images.append(blob)
+        reader = None  # cache miss → plain decode below, not a callable
+
     # Native threaded path (decode+flip+resize+pad in C++, pixel-equal
     # within <=1e-4 — see native/data_prep.cc): possible when no cache
     # reader overrides the decode and the entries carry their stored dims
     # (scale and bucket choice then need no pixels).
-    native_ok = (reader is None and t.NATIVE_PREP
+    native_ok = (not images and reader is None and t.NATIVE_PREP
                  and all("width" in e and "height" in e for e in roidb))
     if native_ok:
         from frcnn_tpu.native import data_prep
@@ -141,7 +169,7 @@ def get_minibatch(roidb, cfg: Config, rng: np.random.RandomState | None = None,
             native_ok = False  # library unavailable → python path below
             entry_dims, scales = [], []
 
-    if not native_ok:
+    if not images and not native_ok:
         prepped = []
         for entry, target in zip(roidb, targets):
             im = (reader or cv2.imread)(entry["image"])

@@ -353,19 +353,22 @@ class SolverWrapper:
             jax.config.update("jax_debug_nans", True)
         reader = None
         if cfg.TRAIN.IMAGE_CACHE:
-            # decode-once memmap cache: the single-core host otherwise spends
-            # ~0.5 s/batch re-decoding JPEGs vs the ~27 ms device step
-            from frcnn_tpu.data.cache import DecodedImageCache
+            # decode+resize-once memmap cache: the single-core host otherwise
+            # spends ~0.5 s/image in cv2 vs the ~40 ms device step; cached
+            # resized uint8 images cut the steady-state host work to a
+            # pad-copy (data/cache.py::ResizedImageCache)
+            from frcnn_tpu.data.cache import ResizedImageCache
 
             paths = [r["image"] for r in self.roidb]
             if self.valroidb is not None:
                 paths += [r["image"] for r in self.valroidb]
             # dataset-level location (like the roidb pkl caches) so multiple
             # experiments share one decode, not one copy per output_dir
-            cache = DecodedImageCache.build(
+            reader = ResizedImageCache.build(
                 paths, osp.join(self.imdb.cache_path,
-                                f"{self.imdb.name}_decoded"))
-            reader = cache.reader
+                                f"{self.imdb.name}_resized"),
+                targets=cfg.TRAIN.SCALES, max_size=cfg.TRAIN.MAX_SIZE,
+                buckets=cfg.TPU.BUCKETS)
         self.data_layer = RoIDataLayer(self.roidb, cfg, reader=reader)
         self.data_layer_val = (
             RoIDataLayer(self.valroidb, cfg, random=True, reader=reader)
@@ -456,7 +459,8 @@ class SolverWrapper:
                       f" >>> loss_box: {losses['loss_box']:.6f}\n"
                       f" >>> lr: {lr:f}")
                 print(f"speed: {timer.average_time:.3f}s / iter")
-                log_f.write(json.dumps({"iter": step, "lr": lr, **losses}) + "\n")
+                log_f.write(json.dumps({"iter": step, "ts": time.time(),
+                                        "lr": lr, **losses}) + "\n")
                 log_f.flush()
                 if writer is not None:
                     writer.scalars({**losses, "lr": lr,

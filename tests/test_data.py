@@ -298,6 +298,53 @@ def test_decoded_image_cache(voc_root, tmp_path):
     again = DecodedImageCache.build([p0], prefix, verbose=False)
     assert p0 in again
 
+def test_resized_image_cache(voc_root, tmp_path):
+    """Resized-cache batches must match the python decode path within uint8
+    rounding (the cache resizes uint8 where the python path resizes f32, and
+    flipped entries flip the *resized* view — bilinear resize and horizontal
+    flip commute up to cv2 fixed-point LSBs).  Scales, im_info and gt boxes
+    must be identical; data dtype is uint8 (cast is in-graph)."""
+    from frcnn_tpu.data.cache import ResizedImageCache
+    from frcnn_tpu.data.loader import RoIDataLayer
+    from frcnn_tpu.data.roidb import prepare_roidb
+
+    ds, _ = _make_voc(voc_root, split="trainval")
+    _ = ds.roidb
+    prepare_roidb(ds)
+    ds.append_flipped_images()
+    cfg = default_config()
+    cfg = dataclasses.replace(
+        cfg, TPU=dataclasses.replace(cfg.TPU, BUCKETS=((256, 320), (320, 448))),
+        TRAIN=dataclasses.replace(cfg.TRAIN, SCALES=(200,), MAX_SIZE=400,
+                                  NATIVE_PREP=False))
+
+    prefix = str(tmp_path / "cache" / "resized_cache")
+    cache = ResizedImageCache.build(
+        [r["image"] for r in ds.roidb], prefix, targets=cfg.TRAIN.SCALES,
+        max_size=cfg.TRAIN.MAX_SIZE, buckets=cfg.TPU.BUCKETS, verbose=False)
+    plain = RoIDataLayer(ds.roidb, cfg)
+    cached = RoIDataLayer(ds.roidb, cfg, reader=cache)
+    for _ in range(4):  # cycles through flipped entries too
+        a, b = plain.forward(), cached.forward()
+        assert b["data"].dtype == np.uint8
+        assert a["data"].shape == b["data"].shape
+        np.testing.assert_allclose(a["data"], b["data"].astype(np.float32),
+                                   atol=2.0)
+        np.testing.assert_array_equal(a["im_info"], b["im_info"])
+        np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+
+    # reuse an up-to-date cache; rebuild (= miss at get) under changed config
+    again = ResizedImageCache.build(
+        [ds.roidb[0]["image"]], prefix, targets=cfg.TRAIN.SCALES,
+        max_size=cfg.TRAIN.MAX_SIZE, buckets=cfg.TPU.BUCKETS, verbose=False)
+    assert again.get(ds.roidb[0]["image"], cfg.TRAIN.SCALES[0],
+                     cfg.TRAIN.MAX_SIZE, cfg.TPU.BUCKETS) is not None
+    # a different MAX_SIZE changes the resize scale → get must refuse
+    # (150 < target 200 always caps the scale on these images)
+    assert ResizedImageCache.open(prefix).get(
+        ds.roidb[0]["image"], cfg.TRAIN.SCALES[0], 150,
+        cfg.TPU.BUCKETS) is None
+
 def test_orientation_homogeneous_batches():
     """With multi-image batches and both bucket orientations, every full
     batch must be orientation-pure (else it would snap to the oversized

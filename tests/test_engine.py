@@ -241,7 +241,7 @@ def test_train_with_image_cache(voc_root, tmp_path):
     train_net(model, ds, roidb, None, out_dir,
               tb_dir=osp.join(out_dir, "tb"), cfg=cfg, max_iters=2)
     # cache lives at the dataset level (shared across experiments)
-    assert osp.exists(osp.join(ds.cache_path, f"{ds.name}_decoded.dat"))
+    assert osp.exists(osp.join(ds.cache_path, f"{ds.name}_resized.dat"))
     lines = [eval(line.replace("true", "True")) for line in
              open(osp.join(out_dir, "train_log.jsonl"))]
     assert np.isfinite(lines[-1]["total_loss"])
