@@ -517,6 +517,18 @@ def train_net(model, imdb, roidb, valroidb, output_dir: str,
               pretrained_params=None, max_iters: int = 40000, mesh=None):
     """Train entry point (reference train_val.train_net)."""
     cfg = cfg or model.config
+    frozen_resnet = (
+        type(getattr(model, "backbone", None)).__name__ == "ResNetV1"
+        or (type(model).__name__ == "FasterRCNNFPN"
+            and getattr(model, "norm", "frozen_bn") == "frozen_bn"))
+    if pretrained_params is None and frozen_resnet:
+        # Frozen-BN backbones (the reference's convention, resnet_v1.py:
+        # all BN eval-mode) normalize nothing at random init — from-scratch
+        # training at the reference lr typically NaNs within iterations.
+        print("WARNING: no pretrained weights and a frozen-BN backbone — "
+              "the reference design assumes ImageNet initialization.  For "
+              "from-scratch training use a *_fpn_gn net (GroupNorm) or set "
+              "TRAIN.WARMUP_ITERS/GRAD_CLIP and a lower LEARNING_RATE.")
     roidb = filter_roidb(roidb, cfg)
     valroidb = filter_roidb(valroidb, cfg) if valroidb is not None else None
     sw = SolverWrapper(model, imdb, roidb, valroidb, output_dir, tb_dir,
