@@ -63,6 +63,45 @@ def step_time(model, tx, state, feed, n_lo=3, n_hi=9):
     return (times[n_hi] - times[n_lo]) / (n_hi - n_lo)
 
 
+def stage_times(model, state, feed):
+    """Slope-time pieces of the train step: forward-only, value_and_grad,
+    and the full step (grad + optimizer update) measured by step_time."""
+
+    def fwd(params, key):
+        losses, _ = model.apply(
+            {"params": params}, feed["data"], feed["im_info"],
+            feed["gt_boxes"], feed["gt_labels"], feed["gt_valid"], key,
+            method="train_forward", rngs={"dropout": key})
+        return losses["total_loss"]
+
+    def loop(params, n, with_grad):
+        def body(i, carry):
+            p, acc = carry
+            key = jax.random.fold_in(jax.random.PRNGKey(0), i)
+            if with_grad:
+                loss, grads = jax.value_and_grad(fwd)(p, key)
+                # consume grads so XLA cannot drop the backward
+                acc = acc + loss + sum(
+                    jnp.sum(g.astype(jnp.float32) * 0.0)
+                    for g in jax.tree.leaves(grads))
+            else:
+                acc = acc + fwd(p, key)
+            return p, acc
+        return jax.lax.fori_loop(0, n, body, (params, 0.0))[1]
+
+    out = {}
+    for tag, wg in (("forward", False), ("fwd+bwd", True)):
+        f = jax.jit(loop, static_argnums=(2,))
+        _ = np.asarray(f(state["params"], 2, wg))
+        times = {}
+        for n in (3, 9):
+            t0 = time.perf_counter()
+            _ = np.asarray(f(state["params"], n, wg))
+            times[n] = time.perf_counter() - t0
+        out[tag] = (times[9] - times[3]) / 6
+    return out
+
+
 def main():
     cfg = default_config()
     cfg = dataclasses.replace(
@@ -72,7 +111,10 @@ def main():
     h, w = cfg.TPU.BUCKETS[0]
     rng = np.random.RandomState(0)
 
+    stages = "--stages" in sys.argv
     for batch in (1, 8):
+        if stages and batch == 1:
+            continue
         model = build_model("res50", 21, cfg, dtype=dtype)
         data = pack_images(
             rng.uniform(0, 255, (batch, h, w, 3)).astype(np.float32),
@@ -98,9 +140,16 @@ def main():
         tx, _ = make_optimizer(model, variables["params"], cfg)
         state = {"params": variables["params"],
                  "opt_state": tx.init(variables["params"])}
-        dt = step_time(model, tx, state, feed)
-        print(f"batch {batch}: {dt * 1e3:7.2f} ms/step  "
-              f"({batch / dt:6.1f} img/s)")
+        if stages:
+            st = stage_times(model, state, feed)
+            dt = step_time(model, tx, state, feed)
+            print(f"batch {batch}: forward {st['forward'] * 1e3:6.2f} ms   "
+                  f"fwd+bwd {st['fwd+bwd'] * 1e3:6.2f} ms   "
+                  f"full step {dt * 1e3:6.2f} ms", flush=True)
+        else:
+            dt = step_time(model, tx, state, feed)
+            print(f"batch {batch}: {dt * 1e3:7.2f} ms/step  "
+                  f"({batch / dt:6.1f} img/s)", flush=True)
 
 
 if __name__ == "__main__":
