@@ -63,18 +63,23 @@ def snap_to_bucket(hws, buckets):
     return (max(b[0] for b in buckets), max(b[1] for b in buckets))
 
 
-def prep_im_for_blob(im, target_size: int, max_size: int, buckets):
-    """Resize into a bucket.  Returns (padded_im float32 (bh, bw, 3) BGR raw
-    pixels, scale).  Reference prep_im_for_blob also mean-subtracts; ours is
-    in-graph."""
+def prep_im_for_blob(im, target_size: int, max_size: int, buckets,
+                     keep_uint8: bool = False):
+    """Resize into a bucket.  Returns (padded_im (bh, bw, 3) BGR raw pixels,
+    scale).  Reference prep_im_for_blob also mean-subtracts; ours is
+    in-graph.  Default float32 resize is reference-exact; ``keep_uint8``
+    resizes/pads in uint8 (≤1 LSB pixel difference) — the cast then happens
+    in-graph and host→device transfer shrinks 4×."""
     import cv2
 
     h, w = im.shape[:2]
     scale, (bh, bw) = pick_scale_and_bucket(h, w, target_size, max_size, buckets)
-    resized = cv2.resize(im.astype(np.float32), None, None, fx=scale, fy=scale,
+    src = im if keep_uint8 and im.dtype == np.uint8 else im.astype(np.float32)
+    resized = cv2.resize(src, None, None, fx=scale, fy=scale,
                          interpolation=cv2.INTER_LINEAR)
-    out = np.zeros((bh, bw, 3), dtype=np.float32)
-    out[: resized.shape[0], : resized.shape[1], :] = resized
+    out = np.zeros((bh, bw, 3), dtype=src.dtype)
+    rh, rw = min(resized.shape[0], bh), min(resized.shape[1], bw)
+    out[:rh, :rw, :] = resized[:bh, :bw]
     return out, scale
 
 

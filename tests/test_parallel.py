@@ -134,6 +134,26 @@ def test_serving_detector(mesh8):
     ips = throughput(det, batch=8, iters=2, warmup=1)
     assert ips > 0
 
+    # uint8 ingestion (4x less host->device traffic): the uint8 resize must
+    # stay within 1 LSB of the reference-exact f32 resize (per-detection
+    # comparison is meaningless on a random-init net — near-tied scores flip
+    # NMS order on 1-LSB pixel changes), and the detector must accept the
+    # uint8 blobs end-to-end
+    from frcnn_tpu.data.loader import prep_im_for_blob
+
+    for im in ims:
+        b32, s32 = prep_im_for_blob(im, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE,
+                                    cfg.TPU.BUCKETS)
+        b8, s8 = prep_im_for_blob(im, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE,
+                                  cfg.TPU.BUCKETS, keep_uint8=True)
+        assert b8.dtype == np.uint8 and s8 == s32
+        np.testing.assert_allclose(b8.astype(np.float32), b32, atol=1.0)
+    det8 = Detector(model, variables, cfg, mesh=mesh8, uint8_input=True)
+    results8 = det8(ims)
+    assert len(results8) == 5
+    for r8 in results8:
+        assert r8.ndim == 2 and r8.shape[1] == 6 and np.isfinite(r8).all()
+
 
 @pytest.mark.slow
 def test_serving_batch64_over_mesh(mesh8):
