@@ -16,8 +16,9 @@ import jax  # noqa: E402
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config API works.
 # FRCNN_TPU_TEST_TPU=1 keeps the real backend so the TPU-gated compiled-kernel
-# tests (skipped on CPU) can run on a chip:
-#   FRCNN_TPU_TEST_TPU=1 pytest tests/test_pallas_kernels.py
+# tests (skipped on CPU) can run on a chip.  Select single tests — every
+# distinct kernel shape is a separate (minutes-long, tunneled) compile:
+#   FRCNN_TPU_TEST_TPU=1 pytest tests/test_pallas_kernels.py -k roi_align_pallas_matches
 if not os.environ.get("FRCNN_TPU_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
