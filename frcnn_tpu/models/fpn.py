@@ -31,7 +31,7 @@ from frcnn_tpu.models.network import postprocess_detections, decode_boxes
 from frcnn_tpu.models.proposals import proposal_layer
 from frcnn_tpu.models.targets import anchor_target_layer, proposal_target_layer
 from frcnn_tpu.ops.anchors import generate_anchors_pre
-from frcnn_tpu.ops.roi_align import roi_align_gather
+from frcnn_tpu.ops.roi_align import roi_align_multilevel
 
 
 class _ResNetStages(nn.Module):
@@ -269,23 +269,22 @@ class FasterRCNNFPN(nn.Module):
         return jnp.clip(k, f.MIN_LEVEL, f.MAX_LEVEL).astype(jnp.int32)
 
     def _pool(self, pyramid, rois):
-        """Level-assigned RoIAlign: compute on every RoI level, select by
-        assignment mask.  pyramid: P2..P6 (P6 unused for RoIs)."""
+        """Level-assigned RoIAlign in ONE gather pass: all RoI levels are
+        flattened into a single per-image table and each RoI gathers from its
+        assigned level via level-indexed offsets (ops.roi_align.
+        roi_align_multilevel) — 1/4 the gather traffic of the compute-every-
+        level-and-mask formulation it replaces.  pyramid: P2..P6 (P6 unused
+        for RoIs)."""
         cfg = self.config
-        levels = self._assign_levels(rois)  # (B, N)
-        p = cfg.POOLING_SIZE
-        out = None
-        for level, feat in zip(self._levels, pyramid):
-            if level > cfg.FPN.MAX_LEVEL:
-                break
-            pooled = jax.vmap(
-                lambda f, r: roi_align_gather(
-                    f, r, output_size=p, spatial_scale=1.0 / (2 ** level),
-                    sampling_ratio=cfg.TPU.ROI_SAMPLING_RATIO)
-            )(feat, rois)
-            mask = (levels == level)[..., None, None, None]
-            out = pooled * mask if out is None else out + pooled * mask
-        return out  # (B, N, p, p, C)
+        f = cfg.FPN
+        levels = self._assign_levels(rois) - f.MIN_LEVEL  # (B, N) in [0, L)
+        roi_levels = list(range(f.MIN_LEVEL, f.MAX_LEVEL + 1))
+        return jax.vmap(
+            lambda fs, r, lv: roi_align_multilevel(
+                fs, r, lv, strides=[2 ** l for l in roi_levels],
+                output_size=cfg.POOLING_SIZE,
+                sampling_ratio=cfg.TPU.ROI_SAMPLING_RATIO)
+        )(pyramid[:len(roi_levels)], rois, levels)  # (B, N, p, p, C)
 
     def _classify(self, pooled, train: bool):
         b, n = pooled.shape[:2]

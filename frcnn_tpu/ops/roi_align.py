@@ -31,6 +31,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _pick_chunk(r: int, chunk: int) -> int:
@@ -271,6 +272,111 @@ def roi_align_gather(feat, rois, output_size: int = 7,
         out = jax.lax.map(fn, batched)
         return out.reshape((r,) + out.shape[2:])
     return fn(rois)
+
+
+def _roi_align_multilevel_chunk(table, dims, offsets, scales, rois, levels,
+                                output_size, sampling_ratio):
+    """Gather-based RoIAlign for a chunk of rois over a concatenated
+    multi-level table.  table: (sum_l H_l*W_l, C); dims (L, 2) int32 per-level
+    (H, W); offsets (L,) int32 row offsets into the table; scales (L,) f32
+    spatial scales; levels (R,) int32 index into the L tables per roi.
+
+    Identical bilinear math to ``_roi_align_gather_chunk`` but every scalar
+    that used to be static (h, w, spatial_scale, row base) is selected
+    per-roi by level index — one gather pass serves all pyramid levels."""
+    p, sr = output_size, sampling_ratio
+    r = rois.shape[0]
+    dtype = table.dtype
+
+    hh = dims[levels, 0].astype(dtype)[:, None]                 # (R, 1)
+    ww = dims[levels, 1].astype(dtype)[:, None]
+    w_i = dims[levels, 1][:, None]                              # int32 (R, 1)
+    base = offsets[levels][:, None]                             # (R, 1)
+    scale = scales[levels][:, None].astype(dtype)               # (R, 1)
+
+    x1 = rois[:, 0:1].astype(dtype) * scale
+    y1 = rois[:, 1:2].astype(dtype) * scale
+    x2 = rois[:, 2:3].astype(dtype) * scale
+    y2 = rois[:, 3:4].astype(dtype) * scale
+    bin_w = jnp.maximum(x2 - x1, 1.0) / p
+    bin_h = jnp.maximum(y2 - y1, 1.0) / p
+    s = (jnp.arange(p * sr, dtype=dtype) + 0.5) / sr            # (p*sr,)
+    ys = y1 + s[None, :] * bin_h                                # (R, p*sr)
+    xs = x1 + s[None, :] * bin_w
+
+    def neighbours(coords, size):
+        empty = (coords < -1.0) | (coords > size)
+        c = jnp.clip(coords, 0.0, size - 1.0)
+        low = jnp.floor(c)
+        frac = c - low
+        low_i = low.astype(jnp.int32)
+        high_i = jnp.minimum(low_i + 1, size.astype(jnp.int32) - 1)
+        return low_i, high_i, frac, empty
+
+    yl, yh, fy, ey = neighbours(ys, hh)
+    xl, _, fx, ex = neighbours(xs, ww)
+
+    # x-pair gather: xl/xh are ADJACENT ROWS of the flat table, so one
+    # (2, C) slice per sample point fetches both x-neighbours — half the
+    # gather descriptors and 2x-contiguous runs vs four row-gathers
+    # (measured 27.6 -> 16 ms at the 8x300-roi FPN detect shape; see
+    # scripts/probe_multilevel_gather.py for the losing variants).  At
+    # xl == w-1 the slice reads one row past the level (next level's first
+    # row, or the one-row zero slack appended by the caller); its weight fx
+    # is exactly 0 there (clamped coord => frac 0), matching the reference's
+    # explicit xh = min(xl+1, w-1) clamp.
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
+
+    def pair_rows(yi):
+        starts = ((base + yi * w_i)[:, :, None]
+                  + xl[:, None, :]).reshape(-1, 1)
+        out = jax.lax.gather(
+            table, starts, dn, slice_sizes=(2, table.shape[-1]),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        return out.reshape(r, p * sr, p * sr, 2, -1)
+
+    wx = jnp.stack([1 - fx, fx], axis=-1)[:, None, :, :, None]  # (R,1,n,2,1)
+    row_t = (pair_rows(yl) * wx).sum(axis=3)                    # (R,n,n,C)
+    row_b = (pair_rows(yh) * wx).sum(axis=3)
+    v = (row_t * (1 - fy)[:, :, None, None]
+         + row_b * fy[:, :, None, None])
+    valid = (~ey)[:, :, None, None] & (~ex)[:, None, :, None]
+    v = jnp.where(valid, v, 0.0)
+    return v.reshape(r, p, sr, p, sr, -1).mean(axis=(2, 4))
+
+
+def roi_align_multilevel(feats, rois, levels, strides, output_size: int = 7,
+                         sampling_ratio: int = 2, chunk: int = 64):
+    """Level-assigned RoIAlign over an FPN pyramid in ONE gather pass.
+
+    feats: list of L (H_l, W_l, C) maps (one image); rois (R, 4) image-coord
+    boxes; levels (R,) int32 in [0, L); strides: L python ints (feature
+    stride per level).  Returns (R, p, p, C).  Equivalent to running
+    ``roi_align_gather`` per level and selecting by level mask, at 1/L the
+    gather traffic."""
+    c = feats[0].shape[-1]
+    table = jnp.concatenate(
+        [f.reshape(-1, c) for f in feats]
+        + [jnp.zeros((1, c), feats[0].dtype)], axis=0)  # slack row: the
+    # last level's bottom-right x-pair slice reads one row past the end
+    dims = jnp.asarray([f.shape[:2] for f in feats], jnp.int32)
+    sizes = [int(np.prod(f.shape[:2])) for f in feats]
+    offsets = jnp.asarray(np.concatenate([[0], np.cumsum(sizes)[:-1]]),
+                          jnp.int32)
+    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+
+    r = rois.shape[0]
+    chunk = _pick_chunk(r, chunk)
+    fn = partial(_roi_align_multilevel_chunk, table, dims, offsets, scales,
+                 output_size=output_size, sampling_ratio=sampling_ratio)
+    if r > chunk:
+        out = jax.lax.map(
+            lambda args: fn(rois=args[0], levels=args[1]),
+            (rois.reshape(r // chunk, chunk, 4),
+             levels.reshape(r // chunk, chunk)))
+        return out.reshape((r,) + out.shape[2:])
+    return fn(rois=rois, levels=levels)
 
 
 def extract_roi_features(feat, rois, mode: str = "align", output_size: int = 7,

@@ -3,7 +3,9 @@
 import numpy as np
 import jax.numpy as jnp
 
-from frcnn_tpu.ops.roi_align import roi_align, roi_pool, crop_and_resize_pool
+from frcnn_tpu.ops.roi_align import (roi_align, roi_align_gather,
+                                     roi_align_multilevel, roi_pool,
+                                     crop_and_resize_pool)
 from tests.conftest import random_boxes
 from tests import oracles
 
@@ -45,6 +47,43 @@ def test_roi_align_grad_flows(rng):
     g = jax.grad(lambda f: roi_align(f, jnp.asarray(rois)).sum())(jnp.asarray(feat))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_roi_align_multilevel_matches_per_level(rng):
+    """One-pass multilevel gather == per-level roi_align_gather selected by
+    the roi's assigned level (the FPN _pool contract)."""
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.randn(64 // (s // 4), 96 // (s // 4), 8)
+                         .astype(np.float32)) for s in strides]
+    r = 32
+    rois = random_boxes(rng, r, width=96 * 4 - 1, height=64 * 4 - 1, min_size=8)
+    levels = rng.randint(0, 4, size=r).astype(np.int32)
+
+    got = np.asarray(roi_align_multilevel(
+        feats, jnp.asarray(rois), jnp.asarray(levels), strides,
+        output_size=7, sampling_ratio=2, chunk=16))
+    for li, (f, s) in enumerate(zip(feats, strides)):
+        want = np.asarray(roi_align_gather(
+            f, jnp.asarray(rois), output_size=7, spatial_scale=1.0 / s,
+            sampling_ratio=2))
+        sel = levels == li
+        np.testing.assert_allclose(got[sel], want[sel], rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_multilevel_grad_flows(rng):
+    import jax
+
+    strides = [4, 8]
+    feats = [jnp.asarray(rng.randn(16 // (s // 4), 16 // (s // 4), 4)
+                         .astype(np.float32)) for s in strides]
+    rois = random_boxes(rng, 8, width=63, height=63, min_size=4)
+    levels = jnp.asarray(rng.randint(0, 2, size=8).astype(np.int32))
+
+    g = jax.grad(lambda fs: roi_align_multilevel(
+        fs, jnp.asarray(rois), levels, strides).sum())(feats)
+    for gl in g:
+        assert np.isfinite(np.asarray(gl)).all()
+    assert sum(np.abs(np.asarray(gl)).sum() for gl in g) > 0
 
 
 def test_roi_pool_matches_oracle(rng):
