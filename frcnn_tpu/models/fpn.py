@@ -175,23 +175,37 @@ class FasterRCNNFPN(nn.Module):
         return self.neck(self.stages(self._preprocess(images)))  # P2..P6
 
     def _rpn_all_levels(self, pyramid):
-        """Shared RPN over P2..P6 → concatenated (B, K, ...) in level order."""
-        cls_list, prob_list, box_list = [], [], []
+        """Shared RPN over P2..P6 → concatenated (B, K, ...) in level order.
+
+        Returns (cls, prob, box_rows, box_cells):
+          cls (B, K, 2) / box_rows (B, K, 4) — per-anchor rows for the train
+          losses.  Their (…, 2A/4A) → (K, ·) conversions are lane-padded
+          Mosaic relayouts costing ~3.7 ms at 800×1216 B8 (probe:
+          scripts/probe_fpn_rpn.py — heads and casts fuse to ~0, reshapes
+          don't), so the detect path must not consume them (XLA then DCEs
+          both) — `_propose` reads box_cells instead.
+          prob (B, K) — fg probability, sigmoid(fg−bg).
+          box_cells — per-level (B, H·W, 4A) bf16 views of the bbox conv
+          output (a lane-preserving reshape, free) for cell-row gathering.
+        """
+        cls_list, prob_list, box_list, cell_list = [], [], [], []
         for feat in pyramid:
             b, h, w, _ = feat.shape
             x = nn.relu(self.rpn_net(feat))
             cls_map = self.rpn_cls_score(x).astype(jnp.float32)  # (B,H,W,2A)
-            box = self.rpn_bbox_pred(x).reshape(b, h * w * self._A, 4)
+            box_map = self.rpn_bbox_pred(x)                      # (B,H,W,4A)
             # sigmoid(fg − bg) ≡ softmax(...)[...,1] without the lane-hostile
             # (…, 2A) → (K, 2) relayout (see FasterRCNN._rpn)
             prob_list.append(jax.nn.sigmoid(
                 cls_map[..., 1::2] - cls_map[..., 0::2]).reshape(b, h * w * self._A))
             cls_list.append(cls_map.reshape(b, h * w * self._A, 2))
-            box_list.append(box.astype(jnp.float32))
+            box_list.append(
+                box_map.reshape(b, h * w * self._A, 4).astype(jnp.float32))
+            cell_list.append(box_map.reshape(b, h * w, 4 * self._A))
         cls = jnp.concatenate(cls_list, axis=1)
         box = jnp.concatenate(box_list, axis=1)
         prob = jnp.concatenate(prob_list, axis=1)
-        return cls, prob, box
+        return cls, prob, box, cell_list
 
     def _anchors(self, pyramid):
         """Per-level anchors concatenated in the same order as the RPN
@@ -214,26 +228,45 @@ class FasterRCNNFPN(nn.Module):
         sizes = [f.shape[1] * f.shape[2] * self._A for f in pyramid]
         return sizes, per
 
-    def _propose(self, pyramid, fg_prob, deltas, anchors, im_info, train: bool):
-        """Per-level top-k then joint cross-level NMS (Detectron FPN style)."""
+    def _propose(self, pyramid, fg_prob, box_cells, anchors, im_info,
+                 train: bool):
+        """Per-level top-k then joint cross-level NMS (Detectron FPN style).
+
+        box_cells: per-level (B, H·W, 4A) bbox-conv views — the selected
+        anchors' deltas are fetched as CELL rows + an A-way lane select,
+        so the lane-padded (B, K, 4) relayout of all ~243k anchors never
+        materializes (detect-path cost: ~2.5 ms at 800×1216 B8)."""
         cfg = self.config
+        a_n = self._A
         sizes, per = self._level_split_pre_nms(pyramid, train)
         post = (cfg.TRAIN.RPN_POST_NMS_TOP_N if train
                 else cfg.TEST.RPN_POST_NMS_TOP_N)
         thresh = cfg.TRAIN.RPN_NMS_THRESH if train else cfg.TEST.RPN_NMS_THRESH
 
-        # per-level top-k (batched over images), remapped to global indices
-        sel = []
-        off = 0
+        # per-level top-k (batched over images), remapped to global anchor
+        # ids (sel) and global cell rows + A-lane ids (sel_cell, sel_a);
+        # anchor order is A-minor: k_local = cell_local * A + a
+        sel, sel_cell, sel_a = [], [], []
+        off = cell_off = 0
         for s in sizes:
             k = min(per, s)
             _, idx = jax.lax.top_k(
                 jax.lax.dynamic_slice_in_dim(fg_prob, off, s, axis=1), k)
             sel.append(idx + off)
+            sel_cell.append(idx // a_n + cell_off)
+            sel_a.append(idx % a_n)
             off += s
+            cell_off += s // a_n
         sel = jnp.concatenate(sel, axis=1)                      # (B, pre_n)
+        sel_cell = jnp.concatenate(sel_cell, axis=1)
+        sel_a = jnp.concatenate(sel_a, axis=1)
         sel_scores = jnp.take_along_axis(fg_prob, sel, axis=1)
-        sel_deltas = jnp.take_along_axis(deltas, sel[..., None], axis=1)
+        cells = jnp.concatenate(box_cells, axis=1)              # (B, ΣHW, 4A)
+        rows = jnp.take_along_axis(cells, sel_cell[..., None], axis=1)
+        rows = rows.reshape(rows.shape[0], rows.shape[1], a_n, 4)
+        pick = (sel_a[..., None] == jnp.arange(a_n))[..., None]
+        sel_deltas = jnp.sum(
+            jnp.where(pick, rows, 0.0), axis=2).astype(jnp.float32)
         sel_anchors = anchors[sel]                              # (B, pre_n, 4)
 
         # joint cross-level NMS, one batched launch; per-image anchors differ
@@ -299,10 +332,10 @@ class FasterRCNNFPN(nn.Module):
     # -- modes ------------------------------------------------------------------
     def predict(self, images, im_info):
         pyramid = self._pyramid(images)
-        _, fg_prob, deltas = self._rpn_all_levels(pyramid)
+        _, fg_prob, _, box_cells = self._rpn_all_levels(pyramid)
         anchors = self._anchors(pyramid)
         rois, roi_scores, roi_valid = self._propose(
-            pyramid, fg_prob, deltas, anchors, im_info, train=False)
+            pyramid, fg_prob, box_cells, anchors, im_info, train=False)
         pooled = self._pool(pyramid, rois)
         _, cls_prob, bbox_pred = self._classify(pooled, train=False)
         return {"rois": rois, "roi_scores": roi_scores, "roi_valid": roi_valid,
@@ -321,12 +354,13 @@ class FasterRCNNFPN(nn.Module):
         cfg = self.config
         b = images.shape[0]
         pyramid = self._pyramid(images)
-        rpn_cls, fg_prob, deltas = self._rpn_all_levels(pyramid)
+        rpn_cls, fg_prob, deltas, box_cells = self._rpn_all_levels(pyramid)
         anchors = self._anchors(pyramid)
 
         rois, _, roi_valid = self._propose(
             pyramid, jax.lax.stop_gradient(fg_prob),
-            jax.lax.stop_gradient(deltas), anchors, im_info, train=True)
+            jax.tree.map(jax.lax.stop_gradient, box_cells), anchors,
+            im_info, train=True)
 
         keys = jax.random.split(key, 2 * b)
         at = jax.vmap(

@@ -96,23 +96,37 @@ def main():
     pyrv = [jnp.asarray(rng.randn(*p.shape), dtype) for p in pyr]
 
     # ---- stage 3: shared RPN over levels --------------------------------------
-    def rpn(*ps):
-        return model.apply(variables, list(ps),
-                           method=lambda mdl, ps: mdl._rpn_all_levels(ps))
-    dt = slope_time(scalarize(rpn), tuple(pyrv))
-    k_tot = jax.eval_shape(rpn, *pyrv)[1].shape[1]
-    print(f"RPN all levels     : {dt*1e3:7.2f} ms   K={k_tot}")
+    def rpn_detect(*ps):
+        # the detect-path consumption: prob + box_cells (cls/box rows DCE'd)
+        def run(mdl, ps):
+            _, prob, _, cells = mdl._rpn_all_levels(ps)
+            return [prob] + list(cells)
+        return model.apply(variables, list(ps), method=run)
+    dt = slope_time(scalarize(rpn_detect), tuple(pyrv))
+    k_tot = jax.eval_shape(rpn_detect, *pyrv)[0].shape[1]
+    print(f"RPN (detect path)  : {dt*1e3:7.2f} ms   K={k_tot}")
+
+    def rpn_train(*ps):
+        def run(mdl, ps):
+            cls, prob, rows, cells = mdl._rpn_all_levels(ps)
+            return [cls, prob, rows] + list(cells)
+        return model.apply(variables, list(ps), method=run)
+    dt = slope_time(scalarize(rpn_train), tuple(pyrv))
+    print(f"RPN (train path)   : {dt*1e3:7.2f} ms   (+ per-anchor rows)")
 
     # ---- stage 4: propose (per-level topk + joint NMS) -------------------------
     fgv = jax.nn.sigmoid(jnp.asarray(rng.randn(B, k_tot), jnp.float32))
-    dlv = jnp.asarray(0.1 * rng.randn(B, k_tot, 4), jnp.float32)
+    a_n = len(cfg.ANCHOR_RATIOS)
+    cellsv = [jnp.asarray(0.1 * rng.randn(B, p.shape[1] * p.shape[2],
+                                          4 * a_n), dtype) for p in pyr]
 
-    def propose(fg, dl):
-        def run(mdl, fg, dl):
+    def propose(fg, *cells):
+        def run(mdl, fg, cells):
             anchors = mdl._anchors(pyrv)
-            return mdl._propose(pyrv, fg, dl, anchors, im_info, train=False)[0]
-        return model.apply(variables, fg, dl, method=run)
-    dt = slope_time(propose, (fgv, dlv))
+            return mdl._propose(pyrv, fg, list(cells), anchors, im_info,
+                                train=False)[0]
+        return model.apply(variables, fg, cells, method=run)
+    dt = slope_time(propose, (fgv,) + tuple(cellsv))
     n_roi = cfg.TEST.RPN_POST_NMS_TOP_N
     print(f"propose (topk+NMS) : {dt*1e3:7.2f} ms   rois={B}x{n_roi}")
 

