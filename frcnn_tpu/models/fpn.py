@@ -147,13 +147,22 @@ class FasterRCNNFPN(nn.Module):
         self.neck = FPNNeck(out_channels=cfg.FPN.OUT_CHANNELS, dtype=self.dtype,
                             name="neck")
         self.box_head = _FPNBoxHead(dtype=self.dtype, name="box_head")
-        # shared RPN head across levels
+        # shared RPN head across levels.  The 1x1 cls/box heads are explicit
+        # (C, n) matmul params rather than nn.Conv: the fg probability is
+        # computed as a TRANSPOSED weight-difference matmul (lanes = tokens)
+        # so its (…, 2A)->(K,) lane-padded relayout never exists — see
+        # _rpn_all_levels.
         self.rpn_net = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype,
                                kernel_init=init(0.01), name="rpn_net")
-        self.rpn_cls_score = nn.Conv(self._A * 2, (1, 1), dtype=self.dtype,
-                                     kernel_init=init(0.01), name="rpn_cls_score")
-        self.rpn_bbox_pred = nn.Conv(self._A * 4, (1, 1), dtype=self.dtype,
-                                     kernel_init=init(0.01), name="rpn_bbox_pred")
+        rpn_ch = 256
+        self.rpn_cls_w = self.param("rpn_cls_w", init(0.01),
+                                    (rpn_ch, self._A * 2), self.dtype)
+        self.rpn_cls_b = self.param("rpn_cls_b", nn.initializers.zeros,
+                                    (self._A * 2,), self.dtype)
+        self.rpn_box_w = self.param("rpn_box_w", init(0.01),
+                                    (rpn_ch, self._A * 4), self.dtype)
+        self.rpn_box_b = self.param("rpn_box_b", nn.initializers.zeros,
+                                    (self._A * 4,), self.dtype)
         self.cls_score = nn.Dense(self.num_classes, kernel_init=init(0.01),
                                   name="cls_score")
         self.bbox_pred = nn.Dense(self.num_classes * 4, kernel_init=init(0.001),
@@ -184,27 +193,44 @@ class FasterRCNNFPN(nn.Module):
           scripts/probe_fpn_rpn.py — heads and casts fuse to ~0, reshapes
           don't), so the detect path must not consume them (XLA then DCEs
           both) — `_propose` reads box_cells instead.
-          prob (B, K) — fg probability, sigmoid(fg−bg).
+          prob (B, K) — fg probability, sigmoid(fg−bg), A-MAJOR within each
+          level (cls/box rows and the anchor table stay A-minor; _propose
+          remaps its top-k indices).
           box_cells — per-level (B, H·W, 4A) bf16 views of the bbox conv
           output (a lane-preserving reshape, free) for cell-row gathering.
         """
+        a_n = self._A
+        # fg-probability head: sigmoid(fg − bg) depends only on the WEIGHT
+        # DIFFERENCE, so compute it as one transposed matmul whose output
+        # lanes are the (dense) tokens — (B, A, HW) — and whose (B, A·HW)
+        # flatten is an aligned row merge.  The resulting prob ordering is
+        # A-MAJOR within each level; `_propose` remaps its top-k indices back
+        # to the A-minor anchor ids.  (The straight conv form pays a
+        # lane-padded (…, 2A) → (K,) Mosaic relayout per level: ~4 ms at
+        # 800×1216 B8 in situ — scripts/probe_fpn_rpn.py.)
+        dw = (self.rpn_cls_w[:, 1::2] - self.rpn_cls_w[:, 0::2])   # (C, A)
+        db = (self.rpn_cls_b[1::2] - self.rpn_cls_b[0::2])         # (A,)
         cls_list, prob_list, box_list, cell_list = [], [], [], []
         for feat in pyramid:
             b, h, w, _ = feat.shape
             x = nn.relu(self.rpn_net(feat))
-            cls_map = self.rpn_cls_score(x).astype(jnp.float32)  # (B,H,W,2A)
-            box_map = self.rpn_bbox_pred(x)                      # (B,H,W,4A)
-            # sigmoid(fg − bg) ≡ softmax(...)[...,1] without the lane-hostile
-            # (…, 2A) → (K, 2) relayout (see FasterRCNN._rpn)
-            prob_list.append(jax.nn.sigmoid(
-                cls_map[..., 1::2] - cls_map[..., 0::2]).reshape(b, h * w * self._A))
-            cls_list.append(cls_map.reshape(b, h * w * self._A, 2))
+            tokens = x.reshape(b, h * w, x.shape[-1])
+            d = jnp.einsum("bkc,ca->bak", tokens, dw,
+                           preferred_element_type=jnp.float32)
+            d = d + db.astype(jnp.float32)[:, None]
+            prob_list.append(jax.nn.sigmoid(d).reshape(b, a_n * h * w))
+            cells = tokens @ self.rpn_box_w + self.rpn_box_b      # (B,HW,4A)
+            cell_list.append(cells)
+            # per-anchor rows (A-minor, aligned with the anchor table) for
+            # the train losses; DCE'd on the detect path
+            cls_map = tokens @ self.rpn_cls_w + self.rpn_cls_b    # (B,HW,2A)
+            cls_list.append(
+                cls_map.reshape(b, h * w * a_n, 2).astype(jnp.float32))
             box_list.append(
-                box_map.reshape(b, h * w * self._A, 4).astype(jnp.float32))
-            cell_list.append(box_map.reshape(b, h * w, 4 * self._A))
+                cells.reshape(b, h * w * a_n, 4).astype(jnp.float32))
         cls = jnp.concatenate(cls_list, axis=1)
         box = jnp.concatenate(box_list, axis=1)
-        prob = jnp.concatenate(prob_list, axis=1)
+        prob = jnp.concatenate(prob_list, axis=1)   # A-major per level!
         return cls, prob, box, cell_list
 
     def _anchors(self, pyramid):
@@ -243,24 +269,31 @@ class FasterRCNNFPN(nn.Module):
                 else cfg.TEST.RPN_POST_NMS_TOP_N)
         thresh = cfg.TRAIN.RPN_NMS_THRESH if train else cfg.TEST.RPN_NMS_THRESH
 
-        # per-level top-k (batched over images), remapped to global anchor
-        # ids (sel) and global cell rows + A-lane ids (sel_cell, sel_a);
-        # anchor order is A-minor: k_local = cell_local * A + a
-        sel, sel_cell, sel_a = [], [], []
+        # per-level top-k (batched over images).  fg_prob is A-MAJOR within
+        # each level (see _rpn_all_levels): idx = a * HW + cell; remap to the
+        # A-minor anchor ids (sel = k_local = cell * A + a, globally offset)
+        # and to global cell rows + A-lane ids (sel_cell, sel_a) for the
+        # box-cell gather.  top_k is order-invariant as a set, so the A-major
+        # ranking selects the same anchors.
+        sel, sel_cell, sel_a, sel_sc = [], [], [], []
         off = cell_off = 0
         for s in sizes:
             k = min(per, s)
-            _, idx = jax.lax.top_k(
+            hw = s // a_n
+            sc, idx = jax.lax.top_k(
                 jax.lax.dynamic_slice_in_dim(fg_prob, off, s, axis=1), k)
-            sel.append(idx + off)
-            sel_cell.append(idx // a_n + cell_off)
-            sel_a.append(idx % a_n)
+            a = idx // hw
+            cell = idx % hw
+            sel.append(cell * a_n + a + off)
+            sel_cell.append(cell + cell_off)
+            sel_a.append(a)
+            sel_sc.append(sc)
             off += s
-            cell_off += s // a_n
+            cell_off += hw
         sel = jnp.concatenate(sel, axis=1)                      # (B, pre_n)
         sel_cell = jnp.concatenate(sel_cell, axis=1)
         sel_a = jnp.concatenate(sel_a, axis=1)
-        sel_scores = jnp.take_along_axis(fg_prob, sel, axis=1)
+        sel_scores = jnp.concatenate(sel_sc, axis=1)
         cells = jnp.concatenate(box_cells, axis=1)              # (B, ΣHW, 4A)
         rows = jnp.take_along_axis(cells, sel_cell[..., None], axis=1)
         rows = rows.reshape(rows.shape[0], rows.shape[1], a_n, 4)

@@ -112,10 +112,13 @@ def main():
     rng = np.random.RandomState(0)
 
     stages = "--stages" in sys.argv
+    net = "res50"
+    if "--net" in sys.argv:
+        net = sys.argv[sys.argv.index("--net") + 1]
     for batch in (1, 8):
         if stages and batch == 1:
             continue
-        model = build_model("res50", 21, cfg, dtype=dtype)
+        model = build_model(net, 21, cfg, dtype=dtype)
         data = pack_images(
             rng.uniform(0, 255, (batch, h, w, 3)).astype(np.float32),
             getattr(model, "input_block", 1))

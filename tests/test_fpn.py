@@ -110,6 +110,34 @@ def test_fpn_propose_cell_select_matches_rows(fpn_model):
     assert np.asarray(valid).any()
 
 
+def test_fpn_prob_amajor_matches_cls_rows(fpn_model):
+    """fg_prob is produced A-MAJOR per level by a transposed weight-diff
+    matmul; the per-anchor cls rows stay A-minor.  Assert the two agree
+    under the index remap _propose relies on: prob[a*HW+cell] ==
+    sigmoid(cls[cell*A+a, 1] - cls[cell*A+a, 0])."""
+    model, variables, cfg = fpn_model
+    images = jax.random.uniform(jax.random.PRNGKey(9), (1, 256, 256, 3)) * 255
+
+    def run(mdl, im):
+        pyr = mdl._pyramid(im)
+        cls, prob, _, _ = mdl._rpn_all_levels(pyr)
+        sizes = [f.shape[1] * f.shape[2] * mdl._A for f in pyr]
+        return cls, prob, sizes, mdl._A
+
+    cls, prob, sizes, a_n = model.apply(variables, images, method=run)
+    cls = np.asarray(cls)
+    prob = np.asarray(prob)
+    off = 0
+    for s in sizes:
+        hw = s // a_n
+        p_lvl = prob[:, off:off + s].reshape(-1, a_n, hw)        # [a, cell]
+        c_lvl = cls[:, off:off + s].reshape(-1, hw, a_n, 2)      # [cell, a]
+        want = 1.0 / (1.0 + np.exp(-(c_lvl[..., 1] - c_lvl[..., 0])))
+        np.testing.assert_allclose(p_lvl.transpose(0, 2, 1), want,
+                                   rtol=1e-4, atol=1e-5)
+        off += s
+
+
 def test_fpn_train_forward_and_grads(fpn_model):
     model, variables, cfg = fpn_model
     images = jax.random.uniform(jax.random.PRNGKey(2), (1, 256, 256, 3)) * 255
