@@ -346,15 +346,7 @@ def _roi_align_multilevel_chunk(table, dims, offsets, scales, rois, levels,
     return v.reshape(r, p, sr, p, sr, -1).mean(axis=(2, 4))
 
 
-def roi_align_multilevel(feats, rois, levels, strides, output_size: int = 7,
-                         sampling_ratio: int = 2, chunk: int = 64):
-    """Level-assigned RoIAlign over an FPN pyramid in ONE gather pass.
-
-    feats: list of L (H_l, W_l, C) maps (one image); rois (R, 4) image-coord
-    boxes; levels (R,) int32 in [0, L); strides: L python ints (feature
-    stride per level).  Returns (R, p, p, C).  Equivalent to running
-    ``roi_align_gather`` per level and selecting by level mask, at 1/L the
-    gather traffic."""
+def _ml_tables(feats, strides):
     c = feats[0].shape[-1]
     table = jnp.concatenate(
         [f.reshape(-1, c) for f in feats]
@@ -365,7 +357,41 @@ def roi_align_multilevel(feats, rois, levels, strides, output_size: int = 7,
     offsets = jnp.asarray(np.concatenate([[0], np.cumsum(sizes)[:-1]]),
                           jnp.int32)
     scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+    return table, dims, offsets, scales, sizes
 
+
+def roi_align_multilevel(feats, rois, levels, strides, output_size: int = 7,
+                         sampling_ratio: int = 2, chunk: int = 64):
+    """Level-assigned RoIAlign over an FPN pyramid in ONE gather pass.
+
+    feats: list of L (H_l, W_l, C) maps (one image); rois (R, 4) image-coord
+    boxes; levels (R,) int32 in [0, L); strides: L python ints (feature
+    stride per level).  Returns (R, p, p, C).  Equivalent to running
+    ``roi_align_gather`` per level and selecting by level mask, at 1/L the
+    gather traffic.
+
+    custom_vjp: XLA's transpose of the (2, C)-slice gather is a sliced
+    scatter that lowers pathologically on TPU (measured 1374 ms fwd+bwd at
+    the 8×128-roi train shape vs 7.7 ms fwd — scripts/
+    probe_pool_backward.py); the hand-written backward scatter-adds plain
+    (1, C) rows (4 corners per sample, f32 accumulation).  RoIAlign is
+    linear in the features, so the adjoint is exact.  Rois/levels get zero
+    gradients (the reference lineage detaches rois)."""
+    # positional indirection: custom_vjp functions reject keyword args
+    return _roi_align_multilevel_vjp(feats, rois, levels, tuple(strides),
+                                     output_size, sampling_ratio, chunk)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _roi_align_multilevel_vjp(feats, rois, levels, strides, output_size,
+                              sampling_ratio, chunk):
+    return _ml_fwd_impl(feats, rois, levels, strides, output_size,
+                        sampling_ratio, chunk)
+
+
+def _ml_fwd_impl(feats, rois, levels, strides, output_size, sampling_ratio,
+                 chunk):
+    table, dims, offsets, scales, _ = _ml_tables(feats, strides)
     r = rois.shape[0]
     chunk = _pick_chunk(r, chunk)
     fn = partial(_roi_align_multilevel_chunk, table, dims, offsets, scales,
@@ -377,6 +403,113 @@ def roi_align_multilevel(feats, rois, levels, strides, output_size: int = 7,
              levels.reshape(r // chunk, chunk)))
         return out.reshape((r,) + out.shape[2:])
     return fn(rois=rois, levels=levels)
+
+
+def _ml_fwd_rule(feats, rois, levels, strides, output_size, sampling_ratio,
+                 chunk):
+    out = _ml_fwd_impl(feats, rois, levels, strides, output_size,
+                       sampling_ratio, chunk)
+    # zero-size arrays carry each level's shape/dtype (static metadata is
+    # not a valid jax residual type)
+    tokens = tuple(jnp.zeros((0,) + f.shape, f.dtype) for f in feats)
+    return out, (rois, levels, tokens)
+
+
+def _ml_bwd_rule(strides, output_size, sampling_ratio, chunk, res, g):
+    rois, levels, tokens = res
+    shapes = [(t.shape[1:], t.dtype) for t in tokens]
+    p, sr = output_size, sampling_ratio
+    n = p * sr
+    r = rois.shape[0]
+    c = shapes[0][0][-1]
+    dims_np = [s[0][:2] for s in shapes]
+    sizes = [int(np.prod(d)) for d in dims_np]
+    total = int(np.sum(sizes))
+    dims = jnp.asarray(dims_np, jnp.int32)
+    offsets = jnp.asarray(np.concatenate([[0], np.cumsum(sizes)[:-1]]),
+                          jnp.int32)
+    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+
+    def chunk_updates(rois_c, levels_c, g_c):
+        """Per-chunk corner rows + weighted updates (f32)."""
+        dtype = jnp.float32
+        hh = dims[levels_c, 0].astype(dtype)[:, None]
+        ww = dims[levels_c, 1].astype(dtype)[:, None]
+        w_i = dims[levels_c, 1][:, None]
+        h_i = dims[levels_c, 0][:, None]
+        base = offsets[levels_c][:, None]
+        scale = scales[levels_c][:, None]
+
+        x1 = rois_c[:, 0:1] * scale
+        y1 = rois_c[:, 1:2] * scale
+        x2 = rois_c[:, 2:3] * scale
+        y2 = rois_c[:, 3:4] * scale
+        bw = jnp.maximum(x2 - x1, 1.0) / p
+        bh = jnp.maximum(y2 - y1, 1.0) / p
+        s = (jnp.arange(n, dtype=dtype) + 0.5) / sr
+        ys = y1 + s[None, :] * bh
+        xs = x1 + s[None, :] * bw
+
+        def nb(coords, size, limit):
+            empty = (coords < -1.0) | (coords > size)
+            cc = jnp.clip(coords, 0.0, size - 1.0)
+            low = jnp.floor(cc)
+            low_i = low.astype(jnp.int32)
+            high_i = jnp.minimum(low_i + 1, limit - 1)
+            return low_i, high_i, cc - low, empty
+
+        yl, yh, fy, ey = nb(ys, hh, h_i)
+        xl, xh, fx, ex = nb(xs, ww, w_i)
+        valid = ((~ey)[:, :, None] & (~ex)[:, None, :]).astype(dtype)
+        # mean-pool adjoint: each sample gets g[bin] / sr^2
+        gs = (g_c.astype(dtype) / (sr * sr))[:, :, None, :, None, :]
+        gs = jnp.broadcast_to(
+            gs, (g_c.shape[0], p, sr, p, sr, c)).reshape(-1, n, n, c)
+        gs = gs * valid[..., None]
+
+        rows_y = {"l": base + yl * w_i, "h": base + yh * w_i}   # (rc, n)
+        wy = {"l": 1.0 - fy, "h": fy}
+        wx = {"l": 1.0 - fx, "h": fx}
+        cols = {"l": xl, "h": xh}
+        idx_list, upd_list = [], []
+        for ky in ("l", "h"):
+            for kx in ("l", "h"):
+                idx = (rows_y[ky][:, :, None] + cols[kx][:, None, :])
+                w = wy[ky][:, :, None] * wx[kx][:, None, :]
+                idx_list.append(idx.reshape(-1))
+                upd_list.append((gs * w[..., None]).reshape(-1, c))
+        return jnp.concatenate(idx_list), jnp.concatenate(upd_list)
+
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0,))
+
+    ck = _pick_chunk(r, chunk)
+    g2 = g.reshape(r // ck, ck, p, p, c)
+    rois_2 = rois.reshape(r // ck, ck, 4)
+    levels_2 = levels.reshape(r // ck, ck)
+
+    def body(dtab, args):
+        rois_c, levels_c, g_c = args
+        idx, upd = chunk_updates(rois_c, levels_c, g_c)
+        dtab = jax.lax.scatter_add(
+            dtab, idx[:, None], upd, dn,
+            indices_are_sorted=False, unique_indices=False,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+        return dtab, None
+
+    dtable, _ = jax.lax.scan(
+        body, jnp.zeros((total, c), jnp.float32), (rois_2, levels_2, g2))
+
+    dfeats, off = [], 0
+    for (shape, dtype), sz in zip(shapes, sizes):
+        dfeats.append(dtable[off:off + sz].reshape(shape).astype(dtype))
+        off += sz
+    zeros_levels = np.zeros(levels.shape, jax.dtypes.float0)
+    return dfeats, jnp.zeros_like(rois), zeros_levels
+
+
+_roi_align_multilevel_vjp.defvjp(_ml_fwd_rule, _ml_bwd_rule)
 
 
 def extract_roi_features(feat, rois, mode: str = "align", output_size: int = 7,
