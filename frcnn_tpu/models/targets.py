@@ -42,6 +42,21 @@ def _rank_by_random_priority(mask, key):
     return jnp.where(mask, rank, n)
 
 
+def _subsample_mask(mask, max_quota: int, quota, key):
+    """Keep min(quota, sum(mask)) True entries of ``mask`` uniformly without
+    replacement.  Selection-identical to ``_rank_by_random_priority(mask,
+    key) < quota`` (both keep the top-``quota`` entries by the same iid
+    uniform priority) but via a static-k ``top_k`` instead of a full argsort
+    — at RPN scale (155k anchors for FPN) the two argsorts were most of
+    anchor_target_layer's 15.6 ms.  ``max_quota`` must be a static upper
+    bound for the (possibly traced) ``quota``."""
+    n = mask.shape[0]
+    pri = jnp.where(mask, 1.0 + jax.random.uniform(key, (n,)), -1.0)
+    vals, idx = jax.lax.top_k(pri, max_quota)
+    take = (jnp.arange(max_quota) < quota) & (vals > 0.0)
+    return jnp.zeros(n, bool).at[idx].set(take, mode="drop")
+
+
 class AnchorTargets(NamedTuple):
     labels: jnp.ndarray          # (K,) int32: 1 fg, 0 bg, -1 ignore
     bbox_targets: jnp.ndarray    # (K, 4)
@@ -97,14 +112,14 @@ def anchor_target_layer(anchors, gt_boxes, gt_valid, im_info, key, cfg) -> Ancho
     kf, kb = jax.random.split(key)
     num_fg = int(t.RPN_FG_FRACTION * t.RPN_BATCHSIZE)
     fg_mask = labels == 1
-    fg_rank = _rank_by_random_priority(fg_mask, kf)
-    labels = jnp.where(fg_mask & (fg_rank >= num_fg), -1, labels)
+    fg_keep = _subsample_mask(fg_mask, num_fg, num_fg, kf)
+    labels = jnp.where(fg_mask & ~fg_keep, -1, labels)
 
     n_fg = jnp.minimum(jnp.sum(fg_mask), num_fg)
     bg_quota = t.RPN_BATCHSIZE - n_fg
     bg_mask = labels == 0
-    bg_rank = _rank_by_random_priority(bg_mask, kb)
-    labels = jnp.where(bg_mask & (bg_rank >= bg_quota), -1, labels)
+    bg_keep = _subsample_mask(bg_mask, t.RPN_BATCHSIZE, bg_quota, kb)
+    labels = jnp.where(bg_mask & ~bg_keep, -1, labels)
 
     # 4. regression targets toward each anchor's argmax gt
     targets = bbox_transform(anchors, gt_boxes[argmax_overlaps])
