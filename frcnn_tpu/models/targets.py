@@ -81,7 +81,9 @@ def anchor_target_layer(anchors, gt_boxes, gt_valid, im_info, key, cfg) -> Ancho
         & (anchors[:, 3] < im_info[0])
     )
 
-    # 2. IoU vs gt; invalid gt and outside anchors masked to -1
+    # 2. IoU vs gt; invalid gt and outside anchors masked to -1.
+    # (A transposed (G, K) layout — big anchor axis on the lanes — measured
+    # NEUTRAL at FPN's 155k-anchor scale; don't retry.)
     overlaps = bbox_overlaps(anchors, gt_boxes)           # (K, G)
     overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
     overlaps = jnp.where(inside[:, None], overlaps, -1.0)

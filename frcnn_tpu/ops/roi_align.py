@@ -430,8 +430,13 @@ def _ml_bwd_rule(strides, output_size, sampling_ratio, chunk, res, g):
                           jnp.int32)
     scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
 
+    # accumulate in the FEATURE dtype (bf16 on the TPU production path —
+    # same numerics as the autodiff scatter of the gather formulation, and
+    # half the scatter traffic; CPU/parity tests run f32 end to end)
+    acc_dtype = shapes[0][1]
+
     def chunk_updates(rois_c, levels_c, g_c):
-        """Per-chunk corner rows + weighted updates (f32)."""
+        """Per-chunk corner rows + weighted updates (coords in f32)."""
         dtype = jnp.float32
         hh = dims[levels_c, 0].astype(dtype)[:, None]
         ww = dims[levels_c, 1].astype(dtype)[:, None]
@@ -477,7 +482,8 @@ def _ml_bwd_rule(strides, output_size, sampling_ratio, chunk, res, g):
                 idx = (rows_y[ky][:, :, None] + cols[kx][:, None, :])
                 w = wy[ky][:, :, None] * wx[kx][:, None, :]
                 idx_list.append(idx.reshape(-1))
-                upd_list.append((gs * w[..., None]).reshape(-1, c))
+                upd_list.append(
+                    (gs * w[..., None]).reshape(-1, c).astype(acc_dtype))
         return jnp.concatenate(idx_list), jnp.concatenate(upd_list)
 
     dn = jax.lax.ScatterDimensionNumbers(
@@ -499,7 +505,7 @@ def _ml_bwd_rule(strides, output_size, sampling_ratio, chunk, res, g):
         return dtab, None
 
     dtable, _ = jax.lax.scan(
-        body, jnp.zeros((total, c), jnp.float32), (rois_2, levels_2, g2))
+        body, jnp.zeros((total, c), acc_dtype), (rois_2, levels_2, g2))
 
     dfeats, off = [], 0
     for (shape, dtype), sz in zip(shapes, sizes):

@@ -75,20 +75,27 @@ def main():
     feats, rois, levels = make_inputs(rng)
     print(f"backend={jax.default_backend()} B={B} R={R} C={C} levels={LEVELS}")
 
+    # NOTE: variant C (matmul-form Pallas kernel per level) OOMs on P2:
+    # 175 MB VMEM demand vs the chip's 128 MB — the kernel's scratch scales
+    # with level area.  It would need CHAN_BLOCK <= 64 at P2 to fit.
     for name, fn in (("A multilevel", pool_ml), ("B masked    ", pool_masked),
                      ("C pallas    ", pool_pallas)):
-        dt = slope_time(lambda *f: fn(list(f), rois, levels).astype(jnp.float32),
-                        tuple(feats))
-        print(f"{name} fwd    : {dt*1e3:8.2f} ms")
+        try:
+            dt = slope_time(
+                lambda *f: fn(list(f), rois, levels).astype(jnp.float32),
+                tuple(feats))
+            print(f"{name} fwd    : {dt*1e3:8.2f} ms")
 
-        def loss(*f):
-            return jnp.sum(fn(list(f), rois, levels).astype(jnp.float32))
+            def loss(*f):
+                return jnp.sum(fn(list(f), rois, levels).astype(jnp.float32))
 
-        def fwdbwd(*f):
-            g = jax.grad(loss, argnums=tuple(range(len(f))))(*f)
-            return sum(jnp.asarray(x, jnp.float32).ravel()[0] for x in g)
-        dt = slope_time(fwdbwd, tuple(feats))
-        print(f"{name} fwd+bwd: {dt*1e3:8.2f} ms")
+            def fwdbwd(*f):
+                g = jax.grad(loss, argnums=tuple(range(len(f))))(*f)
+                return sum(jnp.asarray(x, jnp.float32).ravel()[0] for x in g)
+            dt = slope_time(fwdbwd, tuple(feats))
+            print(f"{name} fwd+bwd: {dt*1e3:8.2f} ms")
+        except Exception as e:  # noqa: BLE001 — probe must survive OOMs
+            print(f"{name} FAILED : {str(e).splitlines()[0][:100]}")
 
 
 if __name__ == "__main__":

@@ -170,3 +170,49 @@ def test_fused_bottleneck_module_parity(rng, monkeypatch):
         out_f = np.asarray(fused.apply(vp, x), np.float32)
     scale = max(np.abs(out_p).max(), 1e-6)
     assert np.abs(out_p - out_f).max() / scale < 2e-2  # bf16 rounding only
+
+
+def test_multilevel_gather_on_device(rng):
+    """The multilevel RoIAlign rides XLA's gather (fwd) and scatter-add
+    (custom-VJP bwd) — lowerings that differ between CPU and TPU.  On CPU
+    this duplicates the CPU parity tests; with FRCNN_TPU_TEST_TPU=1 it runs
+    the compiled TPU paths.  f32 end to end → tight tolerances."""
+    from frcnn_tpu.ops.roi_align import roi_align_gather, roi_align_multilevel
+
+    strides = [4, 8, 16, 32]
+    feats = [jnp.asarray(rng.randn(64 // (s // 4), 96 // (s // 4), 128)
+                         .astype(np.float32)) for s in strides]
+    r = 32
+    rois = random_boxes(rng, r, width=96 * 4 - 1, height=64 * 4 - 1, min_size=8)
+    levels = jnp.asarray(rng.randint(0, 4, size=r).astype(np.int32))
+    cot = jnp.asarray(rng.randn(r, 7, 7, 128).astype(np.float32))
+
+    def ml(fs):
+        out = roi_align_multilevel(fs, jnp.asarray(rois), levels, strides,
+                                   chunk=16)
+        return jnp.vdot(cot, out), out
+
+    (_, got), g_ml = jax.value_and_grad(ml, has_aux=True)(feats)
+
+    for li, (f, s) in enumerate(zip(feats, strides)):
+        want = np.asarray(roi_align_gather(
+            f, jnp.asarray(rois), output_size=7, spatial_scale=1.0 / s,
+            sampling_ratio=2))
+        sel = np.asarray(levels) == li
+        np.testing.assert_allclose(np.asarray(got)[sel], want[sel],
+                                   rtol=1e-5, atol=1e-5)
+
+    def ref(fs):
+        out = None
+        for li, (f, s) in enumerate(zip(fs, strides)):
+            pooled = roi_align_gather(f, jnp.asarray(rois), output_size=7,
+                                      spatial_scale=1.0 / s, sampling_ratio=2)
+            m = jnp.asarray((np.asarray(levels) == li)[:, None, None, None]
+                            .astype(np.float32))
+            out = pooled * m if out is None else out + pooled * m
+        return jnp.vdot(cot, out)
+
+    g_ref = jax.grad(ref)(feats)
+    for a, b in zip(g_ml, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
