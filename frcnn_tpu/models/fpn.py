@@ -34,6 +34,50 @@ from frcnn_tpu.ops.anchors import generate_anchors_pre
 from frcnn_tpu.ops.roi_align import roi_align_multilevel
 
 
+def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int):
+    """Per-level pre-NMS top-k over A-MAJOR fg_prob, with deltas fetched as
+    cell rows + an A-way lane select.
+
+    fg_prob (B, K): A-major within each level (idx = a * HW + cell, see
+    FasterRCNNFPN._rpn_all_levels); box_cells: per-level (B, H·W, 4A) views
+    of the bbox conv output; sizes: per-level K_l; per: top-k per level.
+
+    Returns (sel, sel_scores, sel_deltas): sel (B, pre_n) GLOBAL A-MINOR
+    anchor ids (k_local = cell * A + a — the order of the anchor table and
+    the per-anchor rows), scores from top_k, deltas (B, pre_n, 4) f32.
+    A top-k is order-invariant as a set, so ranking in A-major order selects
+    the same anchors.  The point of this formulation: the lane-padded
+    (B, K, 4) per-anchor delta rows never materialize on the detect path
+    (~2 ms of Mosaic relayout at 800×1216 B8 — scripts/probe_fpn_rpn.py).
+    Oracle-tested against take_along_axis-on-rows in tests/test_fpn.py."""
+    sel, sel_cell, sel_a, sel_sc = [], [], [], []
+    off = cell_off = 0
+    for s in sizes:
+        k = min(per, s)
+        hw = s // a_n
+        sc, idx = jax.lax.top_k(
+            jax.lax.dynamic_slice_in_dim(fg_prob, off, s, axis=1), k)
+        a = idx // hw
+        cell = idx % hw
+        sel.append(cell * a_n + a + off)
+        sel_cell.append(cell + cell_off)
+        sel_a.append(a)
+        sel_sc.append(sc)
+        off += s
+        cell_off += hw
+    sel = jnp.concatenate(sel, axis=1)                      # (B, pre_n)
+    sel_cell = jnp.concatenate(sel_cell, axis=1)
+    sel_a = jnp.concatenate(sel_a, axis=1)
+    sel_scores = jnp.concatenate(sel_sc, axis=1)
+    cells = jnp.concatenate(box_cells, axis=1)              # (B, ΣHW, 4A)
+    rows = jnp.take_along_axis(cells, sel_cell[..., None], axis=1)
+    rows = rows.reshape(rows.shape[0], rows.shape[1], a_n, 4)
+    pick = (sel_a[..., None] == jnp.arange(a_n))[..., None]
+    sel_deltas = jnp.sum(
+        jnp.where(pick, rows, 0.0), axis=2).astype(jnp.float32)
+    return sel, sel_scores, sel_deltas
+
+
 class _ResNetStages(nn.Module):
     """ResNet trunk returning C2..C5 (strides 4, 8, 16, 32)."""
 
@@ -269,37 +313,8 @@ class FasterRCNNFPN(nn.Module):
                 else cfg.TEST.RPN_POST_NMS_TOP_N)
         thresh = cfg.TRAIN.RPN_NMS_THRESH if train else cfg.TEST.RPN_NMS_THRESH
 
-        # per-level top-k (batched over images).  fg_prob is A-MAJOR within
-        # each level (see _rpn_all_levels): idx = a * HW + cell; remap to the
-        # A-minor anchor ids (sel = k_local = cell * A + a, globally offset)
-        # and to global cell rows + A-lane ids (sel_cell, sel_a) for the
-        # box-cell gather.  top_k is order-invariant as a set, so the A-major
-        # ranking selects the same anchors.
-        sel, sel_cell, sel_a, sel_sc = [], [], [], []
-        off = cell_off = 0
-        for s in sizes:
-            k = min(per, s)
-            hw = s // a_n
-            sc, idx = jax.lax.top_k(
-                jax.lax.dynamic_slice_in_dim(fg_prob, off, s, axis=1), k)
-            a = idx // hw
-            cell = idx % hw
-            sel.append(cell * a_n + a + off)
-            sel_cell.append(cell + cell_off)
-            sel_a.append(a)
-            sel_sc.append(sc)
-            off += s
-            cell_off += hw
-        sel = jnp.concatenate(sel, axis=1)                      # (B, pre_n)
-        sel_cell = jnp.concatenate(sel_cell, axis=1)
-        sel_a = jnp.concatenate(sel_a, axis=1)
-        sel_scores = jnp.concatenate(sel_sc, axis=1)
-        cells = jnp.concatenate(box_cells, axis=1)              # (B, ΣHW, 4A)
-        rows = jnp.take_along_axis(cells, sel_cell[..., None], axis=1)
-        rows = rows.reshape(rows.shape[0], rows.shape[1], a_n, 4)
-        pick = (sel_a[..., None] == jnp.arange(a_n))[..., None]
-        sel_deltas = jnp.sum(
-            jnp.where(pick, rows, 0.0), axis=2).astype(jnp.float32)
+        sel, sel_scores, sel_deltas = select_pre_nms(
+            fg_prob, box_cells, sizes, per, a_n)
         sel_anchors = anchors[sel]                              # (B, pre_n, 4)
 
         # joint cross-level NMS, one batched launch; per-image anchors differ

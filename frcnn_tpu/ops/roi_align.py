@@ -283,16 +283,26 @@ def _roi_align_multilevel_chunk(table, dims, offsets, scales, rois, levels,
 
     Identical bilinear math to ``_roi_align_gather_chunk`` but every scalar
     that used to be static (h, w, spatial_scale, row base) is selected
-    per-roi by level index — one gather pass serves all pyramid levels."""
+    per-roi by level index — one gather pass serves all pyramid levels.
+
+    ALL coordinate/fraction math is f32 regardless of the table dtype: at
+    bf16 any coordinate >= 128 has ULP >= 1, so fractions collapse to 0
+    (nearest-neighbour sampling on the big P2/P3 levels) and disagree with
+    the f32 coordinates the custom-VJP backward uses.  The exact f32
+    weights are then cast to the table dtype for the combine — a ~2^-8
+    relative weight quantization, the same scale as the bf16 feature
+    values, where an all-f32 combine costs ~6 ms at the 800×1216 detect
+    shape (measured; the indices/fractions, not the multiply precision,
+    are what the bf16-coords bug corrupted)."""
     p, sr = output_size, sampling_ratio
     r = rois.shape[0]
-    dtype = table.dtype
+    dtype = jnp.float32
 
     hh = dims[levels, 0].astype(dtype)[:, None]                 # (R, 1)
     ww = dims[levels, 1].astype(dtype)[:, None]
     w_i = dims[levels, 1][:, None]                              # int32 (R, 1)
     base = offsets[levels][:, None]                             # (R, 1)
-    scale = scales[levels][:, None].astype(dtype)               # (R, 1)
+    scale = scales[levels][:, None]                             # (R, 1) f32
 
     x1 = rois[:, 0:1].astype(dtype) * scale
     y1 = rois[:, 1:2].astype(dtype) * scale
@@ -336,14 +346,27 @@ def _roi_align_multilevel_chunk(table, dims, offsets, scales, rois, levels,
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
         return out.reshape(r, p * sr, p * sr, 2, -1)
 
-    wx = jnp.stack([1 - fx, fx], axis=-1)[:, None, :, :, None]  # (R,1,n,2,1)
+    cdt = table.dtype
+    wx = jnp.stack([1 - fx, fx], axis=-1).astype(cdt)[:, None, :, :, None]
     row_t = (pair_rows(yl) * wx).sum(axis=3)                    # (R,n,n,C)
     row_b = (pair_rows(yh) * wx).sum(axis=3)
-    v = (row_t * (1 - fy)[:, :, None, None]
-         + row_b * fy[:, :, None, None])
+    v = (row_t * (1 - fy).astype(cdt)[:, :, None, None]
+         + row_b * fy.astype(cdt)[:, :, None, None])
     valid = (~ey)[:, :, None, None] & (~ex)[:, None, :, None]
-    v = jnp.where(valid, v, 0.0)
+    v = jnp.where(valid, v, jnp.zeros((), cdt))
     return v.reshape(r, p, sr, p, sr, -1).mean(axis=(2, 4))
+
+
+def _ml_meta(hw_list, strides):
+    """Shared level metadata for the multilevel fwd AND its custom-VJP bwd
+    (any table-layout change must flow through here so the two cannot
+    disagree on row indexing).  hw_list: [(H_l, W_l)]."""
+    dims = jnp.asarray(hw_list, jnp.int32)
+    sizes = [int(h * w) for h, w in hw_list]
+    offsets = jnp.asarray(np.concatenate([[0], np.cumsum(sizes)[:-1]]),
+                          jnp.int32)
+    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+    return dims, offsets, scales, sizes
 
 
 def _ml_tables(feats, strides):
@@ -352,11 +375,8 @@ def _ml_tables(feats, strides):
         [f.reshape(-1, c) for f in feats]
         + [jnp.zeros((1, c), feats[0].dtype)], axis=0)  # slack row: the
     # last level's bottom-right x-pair slice reads one row past the end
-    dims = jnp.asarray([f.shape[:2] for f in feats], jnp.int32)
-    sizes = [int(np.prod(f.shape[:2])) for f in feats]
-    offsets = jnp.asarray(np.concatenate([[0], np.cumsum(sizes)[:-1]]),
-                          jnp.int32)
-    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
+    dims, offsets, scales, sizes = _ml_meta(
+        [f.shape[:2] for f in feats], strides)
     return table, dims, offsets, scales, sizes
 
 
@@ -422,13 +442,9 @@ def _ml_bwd_rule(strides, output_size, sampling_ratio, chunk, res, g):
     n = p * sr
     r = rois.shape[0]
     c = shapes[0][0][-1]
-    dims_np = [s[0][:2] for s in shapes]
-    sizes = [int(np.prod(d)) for d in dims_np]
+    dims, offsets, scales, sizes = _ml_meta(
+        [s[0][:2] for s in shapes], strides)
     total = int(np.sum(sizes))
-    dims = jnp.asarray(dims_np, jnp.int32)
-    offsets = jnp.asarray(np.concatenate([[0], np.cumsum(sizes)[:-1]]),
-                          jnp.int32)
-    scales = jnp.asarray([1.0 / s for s in strides], jnp.float32)
 
     # accumulate in the FEATURE dtype (bf16 on the TPU production path —
     # same numerics as the autodiff scatter of the gather formulation, and

@@ -81,31 +81,20 @@ def test_fpn_predict_and_detect(fpn_model):
     assert np.isfinite(np.asarray(det)).all()
 
 
-def test_fpn_propose_cell_select_matches_rows(fpn_model):
-    """_propose fetches selected deltas as cell rows + an A-way lane select
-    (the (B, K, 4) per-anchor relayout never materializes on the detect
-    path); pin it against the straight take_along_axis-on-rows oracle by
-    asserting the proposals it decodes equal a rows-based reimplementation."""
+def test_fpn_propose_smoke(fpn_model):
+    """_propose end-to-end through the model (the selection logic itself is
+    oracle-tested in tests/test_proposals.py::test_fpn_select_pre_nms)."""
     model, variables, cfg = fpn_model
     images = jax.random.uniform(jax.random.PRNGKey(7), (1, 256, 256, 3)) * 255
     im_info = jnp.array([[256.0, 256.0, 1.0]])
 
     def run(mdl, im, ii):
         pyr = mdl._pyramid(im)
-        _, prob, rows, cells = mdl._rpn_all_levels(pyr)
+        _, prob, _, cells = mdl._rpn_all_levels(pyr)
         anchors = mdl._anchors(pyr)
-        got = mdl._propose(pyr, prob, cells, anchors, ii, train=False)
-        # oracle: rebuild per-anchor rows from the cell views and gather them
-        a_n = mdl._A
-        rows_from_cells = jnp.concatenate(
-            [c.reshape(c.shape[0], -1, 4) for c in cells], axis=1)
-        return got, rows, rows_from_cells
+        return mdl._propose(pyr, prob, cells, anchors, ii, train=False)
 
-    (rois, scores, valid), rows, rfc = model.apply(
-        variables, images, im_info, method=run)
-    np.testing.assert_allclose(np.asarray(rows),
-                               np.asarray(rfc.astype(jnp.float32)),
-                               rtol=1e-5, atol=1e-5)
+    rois, scores, valid = model.apply(variables, images, im_info, method=run)
     assert np.isfinite(np.asarray(rois)).all()
     assert np.asarray(valid).any()
 

@@ -216,3 +216,26 @@ def test_multilevel_gather_on_device(rng):
     for a, b in zip(g_ml, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+    # bf16 PRODUCTION leg: same rois through bf16 features must stay close
+    # to the f32 result — coordinate/fraction math must remain f32 inside
+    # (a bf16-coords regression collapses bilinear to nearest-neighbour on
+    # coords >= 128 and lands far outside this tolerance)
+    feats16 = [f.astype(jnp.bfloat16) for f in feats]
+    got16 = roi_align_multilevel(feats16, jnp.asarray(rois), levels, strides,
+                                 chunk=16).astype(jnp.float32)
+    ref32 = roi_align_multilevel(feats, jnp.asarray(rois), levels, strides,
+                                 chunk=16)
+    scale = np.maximum(np.abs(np.asarray(ref32)), 1.0)
+    np.testing.assert_allclose(np.asarray(got16) / scale,
+                               np.asarray(ref32) / scale, atol=3e-2)
+
+    g16 = jax.grad(lambda fs: jnp.vdot(
+        cot, roi_align_multilevel(fs, jnp.asarray(rois), levels, strides,
+                                  chunk=16).astype(jnp.float32)))(feats16)
+    for a, b in zip(g16, g_ref):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = float(np.sqrt((a * a).sum() * (b * b).sum())) or 1.0
+        corr = float((a * b).sum()) / denom
+        assert corr > 0.999, corr

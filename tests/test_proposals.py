@@ -87,3 +87,59 @@ def test_proposal_layer_masks_padding_anchors(rng):
         jnp.asarray(im_info), pre_nms_top_n=300, post_nms_top_n=32,
         nms_thresh=0.7, use_pallas=False)
     assert np.asarray(rs)[np.asarray(valid)].max() <= 0.1 + 1e-6
+
+
+def test_fpn_select_pre_nms_matches_rows_oracle(rng):
+    """FPN pre-NMS selection (models/fpn.py::select_pre_nms): A-major top-k
+    remapped to A-minor anchor ids, deltas via cell-row gather + lane
+    select.  Oracle: build A-MINOR per-anchor probability and delta-row
+    tables independently and select with per-level top_k +
+    take_along_axis.  Distinct scores make the ordering unique, so ids,
+    scores, and deltas must match exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from frcnn_tpu.models.fpn import select_pre_nms
+
+    a_n, b = 3, 2
+    hws = [(8, 12), (4, 6), (2, 3)]
+    per = 20
+    sizes = [h * w * a_n for h, w in hws]
+    k_tot = sum(sizes)
+
+    # distinct scores: shuffled arange, per image
+    prob_minor = np.stack([rng.permutation(k_tot).astype(np.float32) / k_tot
+                           for _ in range(b)])
+    cells, rows_minor, prob_major = [], [], []
+    off = 0
+    for (h, w), s in zip(hws, sizes):
+        hw = h * w
+        c = rng.randn(b, hw, 4 * a_n).astype(np.float32)
+        cells.append(jnp.asarray(c))
+        rows_minor.append(c.reshape(b, hw * a_n, 4))    # k = cell*A + a
+        pm = prob_minor[:, off:off + s].reshape(b, hw, a_n)
+        prob_major.append(pm.transpose(0, 2, 1).reshape(b, s))  # a*HW + cell
+        off += s
+    rows_minor = np.concatenate(rows_minor, axis=1)
+    fg_major = jnp.asarray(np.concatenate(prob_major, axis=1))
+
+    sel, scores, deltas = select_pre_nms(fg_major, cells, sizes, per, a_n)
+    sel = np.asarray(sel)
+
+    # independent oracle in minor order
+    want_sel, want_sc = [], []
+    off = 0
+    for s in sizes:
+        k = min(per, s)
+        sl = prob_minor[:, off:off + s]
+        idx = np.argsort(-sl, axis=1)[:, :k]
+        want_sel.append(idx + off)
+        want_sc.append(np.take_along_axis(sl, idx, axis=1))
+        off += s
+    want_sel = np.concatenate(want_sel, axis=1)
+    want_sc = np.concatenate(want_sc, axis=1)
+
+    np.testing.assert_array_equal(sel, want_sel)
+    np.testing.assert_allclose(np.asarray(scores), want_sc, rtol=1e-6)
+    want_deltas = np.take_along_axis(rows_minor, want_sel[..., None], axis=1)
+    np.testing.assert_allclose(np.asarray(deltas), want_deltas, rtol=1e-6)
