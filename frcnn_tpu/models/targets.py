@@ -81,23 +81,35 @@ def anchor_target_layer(anchors, gt_boxes, gt_valid, im_info, key, cfg) -> Ancho
         & (anchors[:, 3] < im_info[0])
     )
 
-    # 2. IoU vs gt; invalid gt and outside anchors masked to -1.
-    # (A transposed (G, K) layout — big anchor axis on the lanes — measured
-    # NEUTRAL at FPN's 155k-anchor scale; don't retry.)
-    overlaps = bbox_overlaps(anchors, gt_boxes)           # (K, G)
-    overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
-    overlaps = jnp.where(inside[:, None], overlaps, -1.0)
+    # 2. IoU vs gt; invalid gt and outside anchors masked to -1; per-anchor
+    # max/argmax and argmax-per-gt tie membership (every anchor achieving a
+    # gt's max overlap is fg, ties included, requiring a real overlap).
+    # On TPU at RPN scale the Pallas kernel computes the reductions without
+    # materializing the (K, G) matrix (ops/pallas/overlap_kernel.py); the
+    # dense form (several (K, G) HBM intermediates) is the reference
+    # numerics and the small-shape / CPU path.  (A transposed (G, K) dense
+    # layout and a chunked lax.scan both measured NEUTRAL-to-worse at FPN's
+    # 155k-anchor scale — don't retry; see NEXT.md.)
+    use_kernel = (cfg.TPU.USE_PALLAS and jax.default_backend() == "tpu"
+                  and k >= 8192 and gt_boxes.shape[0] <= 64)
+    if use_kernel:
+        from frcnn_tpu.ops.pallas.overlap_kernel import anchor_overlap_stats
 
-    argmax_overlaps = jnp.argmax(overlaps, axis=1)        # (K,)
-    max_overlaps = jnp.max(overlaps, axis=1)              # (K,)
-    gt_max_overlaps = jnp.max(overlaps, axis=0)           # (G,)
-    # argmax-per-gt: every anchor achieving a gt's max overlap is fg (ties
-    # included, like np.where(overlaps == gt_max)); require a real overlap.
-    is_gt_argmax = jnp.any(
-        (overlaps == gt_max_overlaps[None, :]) & (gt_max_overlaps[None, :] > 0)
-        & gt_valid[None, :],
-        axis=1,
-    )
+        max_overlaps, argmax_overlaps, is_gt_argmax = anchor_overlap_stats(
+            anchors, gt_boxes, gt_valid, inside)
+    else:
+        overlaps = bbox_overlaps(anchors, gt_boxes)           # (K, G)
+        overlaps = jnp.where(gt_valid[None, :], overlaps, -1.0)
+        overlaps = jnp.where(inside[:, None], overlaps, -1.0)
+
+        argmax_overlaps = jnp.argmax(overlaps, axis=1)        # (K,)
+        max_overlaps = jnp.max(overlaps, axis=1)              # (K,)
+        gt_max_overlaps = jnp.max(overlaps, axis=0)           # (G,)
+        is_gt_argmax = jnp.any(
+            (overlaps == gt_max_overlaps[None, :])
+            & (gt_max_overlaps[None, :] > 0) & gt_valid[None, :],
+            axis=1,
+        )
 
     neg = max_overlaps < t.RPN_NEGATIVE_OVERLAP
     pos = is_gt_argmax | (max_overlaps >= t.RPN_POSITIVE_OVERLAP)

@@ -52,15 +52,22 @@ def main():
                            (B, 1))
         keys = jax.random.split(jax.random.PRNGKey(0), B)
 
-        def run(gt_boxes, gt_valid, im_info, keys):
-            at = jax.vmap(
-                lambda g, gv, i, kk: anchor_target_layer(
-                    anchors, g, gv, i, kk, cfg)
-            )(gt_boxes, gt_valid, im_info, keys)
-            return at.bbox_targets
+        import dataclasses
 
-        dt = slope_time(run, (gt_boxes, gt_valid, im_info, keys))
-        print(f"{name}: K={k} B={B} G={G}  anchor_target {dt*1e3:.2f} ms")
+        for label, c in (("dense", dataclasses.replace(
+                              cfg, TPU=dataclasses.replace(
+                                  cfg.TPU, USE_PALLAS=False))),
+                         ("pallas", cfg)):
+            def run(gt_boxes, gt_valid, im_info, keys, c=c):
+                at = jax.vmap(
+                    lambda g, gv, i, kk: anchor_target_layer(
+                        anchors, g, gv, i, kk, c)
+                )(gt_boxes, gt_valid, im_info, keys)
+                return at.bbox_targets
+
+            dt = slope_time(run, (gt_boxes, gt_valid, im_info, keys))
+            print(f"{name} [{label}]: K={k} B={B} G={G}  "
+                  f"anchor_target {dt*1e3:.2f} ms")
 
 
 if __name__ == "__main__":

@@ -103,6 +103,44 @@ def test_roi_align_pallas_matches_reference(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_anchor_overlap_stats_matches_dense(rng):
+    """anchor_target's fused IoU-reduction kernel vs the dense (K, G) form:
+    structural results (argmax, tie membership) must match exactly; the max
+    floats to one-pass rounding (2e-7).  Covers ties (duplicated anchors on
+    a gt), invalid gt, outside anchors, and a multi-tile K."""
+    from frcnn_tpu.ops.boxes import bbox_overlaps
+    from frcnn_tpu.ops.pallas.overlap_kernel import TILE, anchor_overlap_stats
+
+    for k, g in ((TILE * 2, 64), (300, 7)):  # multi-tile + odd/padded shapes
+        x1 = rng.uniform(0, 600, k)
+        y1 = rng.uniform(0, 900, k)
+        anchors = np.stack([x1, y1, x1 + rng.uniform(1, 300, k),
+                            y1 + rng.uniform(1, 300, k)], 1).astype(np.float32)
+        gx1 = rng.uniform(0, 500, g)
+        gy1 = rng.uniform(0, 800, g)
+        gt = np.stack([gx1, gy1, gx1 + rng.uniform(5, 200, g),
+                       gy1 + rng.uniform(5, 200, g)], 1).astype(np.float32)
+        gtv = rng.rand(g) > 0.3
+        inside = rng.rand(k) > 0.2
+        anchors[100] = anchors[101] = gt[0]      # exact ties on a gt
+        inside[100] = inside[101] = True
+
+        ov = np.asarray(bbox_overlaps(jnp.asarray(anchors), jnp.asarray(gt)))
+        ov = np.where(gtv[None, :], ov, -1.0)
+        ov = np.where(inside[:, None], ov, -1.0)
+        gm = ov.max(0)
+        want_ga = ((ov == gm[None, :]) & (gm[None, :] > 0)
+                   & gtv[None, :]).any(1)
+
+        mx, am, is_ga = anchor_overlap_stats(
+            jnp.asarray(anchors), jnp.asarray(gt), jnp.asarray(gtv),
+            jnp.asarray(inside), interpret=INTERPRET)
+        np.testing.assert_array_equal(np.asarray(am), ov.argmax(1))
+        np.testing.assert_array_equal(np.asarray(is_ga), want_ga)
+        assert want_ga.any()
+        np.testing.assert_allclose(np.asarray(mx), ov.max(1), atol=2e-7)
+
+
 def test_fused_bottleneck_interpret(rng):
     """Fused bottleneck block (fwd + custom VJP) through the interpreter —
     multi-tile (exercises the halo rows) + identity and projection residuals
