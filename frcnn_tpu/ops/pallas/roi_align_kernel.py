@@ -197,6 +197,202 @@ def _bwd_kernel(rois_ref, g_ref, dfeat_ref, dfx_ref, *, p, sr, scale, h, w):
         dfeat_ref[0, :, :, :] = dfx.transpose(1, 0, 2).astype(dfeat_ref.dtype)
 
 
+def _fwd_kernel_lv(rois_ref, lv_ref, feat_ref, out_ref, fx_ref, *,
+                   p, sr, scale, h, w, level, rt):
+    """Level-gated forward: rows whose lv != level write 0, and a tile with
+    no roi at `level` skips both matmuls entirely (rois arrive sorted by
+    level, so per level only ~contiguous-run tiles are active).  Otherwise
+    identical to _fwd_kernel."""
+    cb = feat_ref.shape[-1]
+    hp = _hp(h)
+    prec = _precision(fx_ref.dtype)
+    sel = lv_ref[:, 0] == level                          # (RT,)
+    active = jnp.any(sel)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        ft = feat_ref[0, :, :, :].transpose(1, 0, 2)
+        ft = jnp.pad(ft, ((0, 0), (0, hp - h), (0, 0)))
+        fx_ref[:, :] = ft.reshape(w, hp * cb)
+
+    @pl.when(active)
+    def _():
+        rois = rois_ref[:, :]
+        ay = _tile_matrices(rois, 1, 3, h, p, sr, scale, fx_ref.dtype)
+        ax = _tile_matrices(rois, 0, 2, w, p, sr, scale, fx_ref.dtype)
+        g = jnp.dot(ax.transpose(1, 0, 2).reshape(p * rt, w), fx_ref[:, :],
+                    preferred_element_type=jnp.float32, precision=prec)
+        g = g.astype(fx_ref.dtype)
+        slabs = [g[px * rt:(px + 1) * rt, :].reshape(rt * hp, cb)
+                 for px in range(p)]
+        g2 = jnp.concatenate(slabs, axis=1)
+        ayp = jnp.pad(ay, ((0, 0), (0, 8 - p % 8 if p % 8 else 0),
+                           (0, hp - h)))
+        pp = ayp.shape[1]
+        ay_f = ayp.reshape(rt * pp, hp)
+        row_r = jax.lax.broadcasted_iota(jnp.int32, (rt * pp, rt * hp), 0) // pp
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rt * pp, rt * hp), 1) // hp
+        aybd = jnp.where(row_r == lane_r,
+                         jnp.tile(ay_f, (1, rt)), 0).astype(ay.dtype)
+        out = jnp.dot(aybd, g2, preferred_element_type=jnp.float32,
+                      precision=prec)
+        out = out.reshape(rt, pp, p, cb)[:, :p]
+        out = jnp.where(sel[:, None, None, None], out, 0.0)
+        out_ref[:, :, :, :] = out.astype(out_ref.dtype)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[:, :, :, :] = jnp.zeros_like(out_ref)
+
+
+def _bwd_kernel_lv(rois_ref, lv_ref, g_ref, dfeat_ref, dfx_ref, *,
+                   p, sr, scale, h, w, level, rt):
+    """Level-gated adjoint: incoming dOUT rows whose lv != level are masked
+    to zero and inactive tiles skip the matmuls; accumulation/final-write
+    structure identical to _bwd_kernel."""
+    rt_i = pl.program_id(1)
+    cb = dfeat_ref.shape[-1]
+    hp = _hp(h)
+    dtype = g_ref.dtype
+    prec = _precision(dtype)
+    sel = lv_ref[:, 0] == level
+    active = jnp.any(sel)
+
+    @pl.when(rt_i == 0)
+    def _():
+        dfx_ref[:, :] = jnp.zeros_like(dfx_ref[:, :])
+
+    @pl.when(active)
+    def _():
+        rois = rois_ref[:, :]
+        ay = _tile_matrices(rois, 1, 3, h, p, sr, scale, dtype)
+        ax = _tile_matrices(rois, 0, 2, w, p, sr, scale, dtype)
+        dout = g_ref[:, :, :, :]
+        dout = jnp.where(sel[:, None, None, None], dout, 0.0)
+        pp = (p + 7) // 8 * 8
+        dout = jnp.pad(dout, ((0, 0), (0, pp - p), (0, 0), (0, 0)))
+        dout2 = dout.reshape(rt * pp, p * cb)
+        ayp = jnp.pad(ay, ((0, 0), (0, pp - p), (0, hp - h)))
+        ay_t = ayp.reshape(rt * pp, hp).T
+        row_r = jax.lax.broadcasted_iota(jnp.int32, (rt * hp, rt * pp), 0) // hp
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rt * hp, rt * pp), 1) // pp
+        aybd_t = jnp.where(row_r == lane_r,
+                           jnp.tile(ay_t, (rt, 1)), 0).astype(dtype)
+        dg2 = jnp.dot(aybd_t, dout2, preferred_element_type=jnp.float32,
+                      precision=prec).astype(dtype)
+        dg = jnp.concatenate(
+            [dg2[:, px * cb:(px + 1) * cb].reshape(rt, hp * cb)
+             for px in range(p)], axis=0)
+        upd = jax.lax.dot_general(
+            ax.transpose(1, 0, 2).reshape(p * rt, w), dg,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dfx_ref[:, :] = dfx_ref[:, :] + upd
+
+    @pl.when(rt_i == pl.num_programs(1) - 1)
+    def _():
+        dfx = dfx_ref[:, :].reshape(w, hp, cb)[:, :h, :]
+        dfeat_ref[0, :, :, :] = dfx.transpose(1, 0, 2).astype(dfeat_ref.dtype)
+
+
+def level_fits_vmem(h: int, w: int, c: int, roi_tile: int = ROI_TILE,
+                    p: int = 7) -> bool:
+    """Whether the level kernels fit the v5e's 128 MB VMEM at this feature
+    shape.  Mosaic's scoped-stack accounting runs ~2.4x the naive live-set
+    estimate (measured: 121 MB scoped at (152, 256, cb=128, rt=16) vs ~50 MB
+    naive), so gate on the calibrated model with headroom."""
+    cb = min(LEVEL_CHAN_BLOCK, c)
+    hp = _hp(h)
+    naive = (hp * w * cb * (2 + 2 + 2)            # fx scratch + feat x2 (bf16)
+             + p * roi_tile * hp * cb * (4 + 2 + 2)   # g f32 + bf16 + g2
+             + roi_tile * 8 * roi_tile * hp * 2)      # aybd
+    return naive * 2.45 < 120 * 1024 * 1024
+
+
+LEVEL_CHAN_BLOCK = 128  # level kernels run tighter VMEM (P2 is large)
+
+
+def _pad_rois_lv(rois, lv, rt):
+    r = rois.shape[0]
+    pad = (-r) % rt
+    if pad:
+        rois = jnp.pad(rois, ((0, pad), (0, 0)))
+        lv = jnp.pad(lv, (0, pad), constant_values=-1)
+    return rois, lv, r
+
+
+def roi_align_level_fwd(feat, rois, roi_levels, level: int, p: int,
+                        scale: float, sr: int, roi_tile: int = ROI_TILE,
+                        interpret: bool = False):
+    """Forward RoIAlign of `rois` against ONE pyramid level: rows with
+    roi_levels != level come back zero.  rois should be sorted by level so
+    inactive roi tiles skip compute.  feat (H, W, C) → (R, p, p, C)."""
+    h, w, c = feat.shape
+    rois_p, lv_p, r_orig = _pad_rois_lv(rois, roi_levels, roi_tile)
+    rt_n = rois_p.shape[0] // roi_tile
+    cbl = _chan_block(c, LEVEL_CHAN_BLOCK)
+    kernel = functools.partial(_fwd_kernel_lv, p=p, sr=sr, scale=scale,
+                               h=h, w=w, level=level, rt=roi_tile)
+    out = pl.pallas_call(
+        kernel,
+        grid=(c // cbl, rt_n),
+        in_specs=[
+            pl.BlockSpec((roi_tile, 4), lambda cb, rti: (rti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((roi_tile, 1), lambda cb, rti: (rti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, cbl), lambda cb, rti: (0, 0, 0, cb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((roi_tile, p, p, cbl),
+                               lambda cb, rti: (rti, 0, 0, cb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rois_p.shape[0], p, p, c), feat.dtype),
+        scratch_shapes=[pltpu.VMEM((w, _hp(h) * cbl), feat.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=126 * 1024 * 1024),
+        interpret=interpret,
+    )(rois_p, lv_p[:, None], feat[None])
+    return out[:r_orig]
+
+
+def roi_align_level_bwd(g, rois, roi_levels, level: int, h: int, w: int,
+                        dtype, p: int, scale: float, sr: int,
+                        roi_tile: int = ROI_TILE, interpret: bool = False):
+    """Adjoint of roi_align_level_fwd w.r.t. the level's features: dOut rows
+    of other levels are ignored.  g (R, p, p, C) → dfeat (H, W, C)."""
+    c = g.shape[-1]
+    rois_p, lv_p, r_orig = _pad_rois_lv(rois, roi_levels, roi_tile)
+    pad = rois_p.shape[0] - r_orig
+    if pad:
+        g = jnp.pad(g, ((0, pad), (0, 0), (0, 0), (0, 0)))
+    rt_n = rois_p.shape[0] // roi_tile
+    cbl = _chan_block(c, LEVEL_CHAN_BLOCK)
+    kernel = functools.partial(_bwd_kernel_lv, p=p, sr=sr, scale=scale,
+                               h=h, w=w, level=level, rt=roi_tile)
+    dfeat = pl.pallas_call(
+        kernel,
+        grid=(c // cbl, rt_n),
+        in_specs=[
+            pl.BlockSpec((roi_tile, 4), lambda cb, rti: (rti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((roi_tile, 1), lambda cb, rti: (rti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((roi_tile, p, p, cbl),
+                         lambda cb, rti: (rti, 0, 0, cb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, cbl), lambda cb, rti: (0, 0, 0, cb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, h, w, c), dtype),
+        scratch_shapes=[pltpu.VMEM((w, _hp(h) * cbl), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=126 * 1024 * 1024),
+        interpret=interpret,
+    )(rois_p, lv_p[:, None], g)
+    return dfeat[0]
+
+
 def _pad_rois(rois):
     r = rois.shape[0]
     pad = (-r) % ROI_TILE
@@ -205,8 +401,8 @@ def _pad_rois(rois):
     return rois, r
 
 
-def _chan_block(c: int) -> int:
-    cb = min(CHAN_BLOCK, c)
+def _chan_block(c: int, limit: int = None) -> int:
+    cb = min(limit or CHAN_BLOCK, c)
     while c % cb != 0:
         cb //= 2
     return cb

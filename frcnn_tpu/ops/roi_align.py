@@ -534,6 +534,96 @@ def _ml_bwd_rule(strides, output_size, sampling_ratio, chunk, res, g):
 _roi_align_multilevel_vjp.defvjp(_ml_fwd_rule, _ml_bwd_rule)
 
 
+def _level_roi_tile(h: int, w: int, c: int):
+    """ROI_TILE the level kernels can run at this feature shape, or None if
+    even the small tile blows the v5e VMEM budget."""
+    from frcnn_tpu.ops.pallas.roi_align_kernel import level_fits_vmem
+
+    for rt in (16, 8):
+        if level_fits_vmem(h, w, c, rt):
+            return rt
+    return None
+
+
+def multilevel_pallas_fits(hw_list, c: int) -> bool:
+    """Whether roi_align_multilevel_pallas can run this pyramid (VMEM gate
+    + lane-aligned channels)."""
+    return (c % 128 == 0
+            and all(_level_roi_tile(h, w, c) is not None for h, w in hw_list))
+
+
+def roi_align_multilevel_pallas(feats, rois, levels, strides,
+                                output_size: int = 7, sampling_ratio: int = 2,
+                                interpret: bool = False):
+    """Level-assigned RoIAlign via the matmul-form Pallas kernel, one
+    kernel launch per pyramid level with roi-tile skipping.
+
+    Same semantics/signature as ``roi_align_multilevel`` (the gather
+    formulation); this one turns the pooling into MXU matmuls instead of a
+    1 KB-run HBM gather.  Rois are sorted by assigned level first so each
+    level's rois form a contiguous run: a roi tile with no roi at the level
+    skips both matmuls inside the kernel, making total compute proportional
+    to the actual per-level roi counts rather than L x R.  The fwd/bwd
+    permutations are exact adjoints (stable argsort on the same levels).
+    Rois/levels get zero gradients (the reference lineage detaches rois).
+    Callers must check ``multilevel_pallas_fits`` first (P2-sized levels
+    need the reduced channel block / roi tile; very large buckets fall back
+    to the gather form)."""
+    return _ml_pallas_vjp(feats, rois, levels, tuple(strides), output_size,
+                          sampling_ratio, interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ml_pallas_vjp(feats, rois, levels, strides, output_size, sampling_ratio,
+                   interpret):
+    return _ml_pallas_fwd_impl(feats, rois, levels, strides, output_size,
+                               sampling_ratio, interpret)
+
+
+def _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret):
+    from frcnn_tpu.ops.pallas.roi_align_kernel import roi_align_level_fwd
+
+    order = jnp.argsort(levels)                  # stable → bwd re-derives it
+    inv = jnp.argsort(order)
+    rois_s = jnp.take(rois, order, axis=0)
+    lv_s = jnp.take(levels, order, axis=0)
+    out = None
+    for li, (f, s) in enumerate(zip(feats, strides)):
+        rt = _level_roi_tile(*f.shape)
+        o = roi_align_level_fwd(f, rois_s, lv_s, li, p, 1.0 / s, sr,
+                                roi_tile=rt, interpret=interpret)
+        out = o if out is None else out + o      # disjoint row supports
+    return jnp.take(out, inv, axis=0)
+
+
+def _ml_pallas_fwd_rule(feats, rois, levels, strides, p, sr, interpret):
+    out = _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret)
+    tokens = tuple(jnp.zeros((0,) + f.shape, f.dtype) for f in feats)
+    return out, (rois, levels, tokens)
+
+
+def _ml_pallas_bwd_rule(strides, p, sr, interpret, res, g):
+    from frcnn_tpu.ops.pallas.roi_align_kernel import roi_align_level_bwd
+
+    rois, levels, tokens = res
+    order = jnp.argsort(levels)
+    rois_s = jnp.take(rois, order, axis=0)
+    lv_s = jnp.take(levels, order, axis=0)
+    g_s = jnp.take(g, order, axis=0)             # adjoint of take(out, inv)
+    dfeats = []
+    for li, (t, s) in enumerate(zip(tokens, strides)):
+        h, w, c = t.shape[1:]
+        rt = _level_roi_tile(h, w, c)
+        dfeats.append(roi_align_level_bwd(
+            g_s.astype(t.dtype), rois_s, lv_s, li, h, w, t.dtype, p,
+            1.0 / s, sr, roi_tile=rt, interpret=interpret))
+    zeros_levels = np.zeros(levels.shape, jax.dtypes.float0)
+    return dfeats, jnp.zeros_like(rois), zeros_levels
+
+
+_ml_pallas_vjp.defvjp(_ml_pallas_fwd_rule, _ml_pallas_bwd_rule)
+
+
 def extract_roi_features(feat, rois, mode: str = "align", output_size: int = 7,
                          spatial_scale: float = 1.0 / 16.0, sampling_ratio: int = 2,
                          use_pallas: bool = True):

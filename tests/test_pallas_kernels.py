@@ -103,6 +103,44 @@ def test_roi_align_pallas_matches_reference(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_multilevel_pallas_matches_gather(rng):
+    """roi_align_multilevel_pallas (per-level matmul kernels + sorted-roi
+    tile skipping, custom VJP) vs the gather formulation: fwd + grads at
+    tight f32 tolerance through the interpreter.  Covers an EMPTY level
+    (all tiles inactive → kernel must still zero its outputs / gradient)
+    and a roi count that is not a multiple of the roi tile."""
+    from frcnn_tpu.ops.roi_align import (multilevel_pallas_fits,
+                                         roi_align_multilevel,
+                                         roi_align_multilevel_pallas)
+
+    strides = [4, 8, 16, 32]
+    hw = [(32, 48), (16, 24), (8, 12), (4, 6)]
+    c, r = 128, 19                       # 19: pads to the roi tile
+    assert multilevel_pallas_fits(hw, c)
+    feats = [jnp.asarray(rng.randn(h, w, c).astype(np.float32)) for h, w in hw]
+    rois = jnp.asarray(random_boxes(rng, r, width=190, height=120, min_size=8))
+    levels = np.clip(rng.randint(0, 4, r), 0, 3)
+    levels[levels == 2] = 1              # level 2 empty
+    levels = jnp.asarray(levels.astype(np.int32))
+    cot = jnp.asarray(rng.randn(r, 7, 7, c).astype(np.float32))
+
+    def run(fn, fs, **kw):
+        o = fn(fs, rois, levels, strides, **kw)
+        return jnp.vdot(cot, o), o
+
+    (_, o_ref), g_ref = jax.value_and_grad(
+        lambda fs: run(roi_align_multilevel, fs), has_aux=True)(feats)
+    (_, o_new), g_new = jax.value_and_grad(
+        lambda fs: run(roi_align_multilevel_pallas, fs, interpret=INTERPRET),
+        has_aux=True)(feats)
+    np.testing.assert_allclose(np.asarray(o_new), np.asarray(o_ref),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    assert not np.asarray(g_new[2]).any()  # empty level → zero gradient
+
+
 def test_anchor_overlap_stats_matches_dense(rng):
     """anchor_target's fused IoU-reduction kernel vs the dense (K, G) form:
     structural results (argmax, tie membership) must match exactly; the max
