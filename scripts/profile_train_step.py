@@ -122,7 +122,14 @@ def main():
         data = pack_images(
             rng.uniform(0, 255, (batch, h, w, 3)).astype(np.float32),
             getattr(model, "input_block", 1))
-        g = 8
+        # gt padded to the PRODUCTION shape (TPU.MAX_GT) with a typical
+        # valid count — the anchor-target IoU cost scales with the padded G,
+        # so feeding fewer rows understates the real train loop (earlier
+        # revisions of this script used g=8: numbers in docs before
+        # PROFILE_r02 §6c-4 are on that lighter shape)
+        g = cfg.TPU.MAX_GT
+        valid = np.zeros((batch, g), bool)
+        valid[:, :12] = True
         feed = {
             "data": jnp.asarray(data),
             "im_info": jnp.tile(jnp.asarray([[h, w, 1.0]], jnp.float32),
@@ -131,7 +138,7 @@ def main():
                 rng.uniform(0, 400, (batch, g, 4)).astype(np.float32)),
             "gt_labels": jnp.asarray(
                 rng.randint(1, 21, (batch, g)).astype(np.int32)),
-            "gt_valid": jnp.ones((batch, g), bool),
+            "gt_valid": jnp.asarray(valid),
         }
         # well-formed boxes
         b0 = np.asarray(feed["gt_boxes"])
