@@ -57,6 +57,10 @@ def test_nms_pallas_multi_chunk(rng):
     np.testing.assert_array_equal(ref, got)
 
 
+@pytest.mark.skipif(not INTERPRET, reason="interpret-mode twin (CPU CI); "
+                    "on the axon TPU backend interpret-mode pallas can abort "
+                    "the tunnel and cascade-fail the rest of the session — "
+                    "the compiled test below covers the chip")
 def test_roi_align_pallas_interpret_tiny(rng):
     """Kernel logic (fwd + custom VJP) through the Pallas interpreter — runs
     in CI on CPU every time, so a kernel regression is no longer invisible
@@ -179,6 +183,7 @@ def test_anchor_overlap_stats_matches_dense(rng):
         np.testing.assert_allclose(np.asarray(mx), ov.max(1), atol=2e-7)
 
 
+@pytest.mark.skipif(not INTERPRET, reason="interpret-only test; axon TPU\n                    interpret mode can abort the tunnel — CPU CI covers it")
 def test_fused_bottleneck_interpret(rng):
     """Fused bottleneck block (fwd + custom VJP) through the interpreter —
     multi-tile (exercises the halo rows) + identity and projection residuals
@@ -218,6 +223,7 @@ def test_fused_bottleneck_interpret(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.skipif(not INTERPRET, reason="interpret-only test; axon TPU\n                    interpret mode can abort the tunnel — CPU CI covers it")
 def test_fused_bottleneck_module_parity(rng, monkeypatch):
     """The Bottleneck module's fused path: identical param tree to the conv
     path and matching outputs with shared params (gate forced on, kernel
