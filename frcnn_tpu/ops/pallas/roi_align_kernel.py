@@ -295,18 +295,170 @@ def _bwd_kernel_lv(rois_ref, lv_ref, g_ref, dfeat_ref, dfx_ref, *,
         dfeat_ref[0, :, :, :] = dfx.transpose(1, 0, 2).astype(dfeat_ref.dtype)
 
 
+def _fwd_kernel_lv_yf(rois_ref, lv_ref, feat_ref, out_ref, *,
+                      p, sr, scale, h, w, level, rt):
+    """Transpose-free y-first level forward for levels too large for the
+    x-first kernel's transposed fx scratch (the 800x1216 bucket's P2).
+
+    Contract over H FIRST against the feature block in its NATURAL layout —
+    (h, w, cb) reshaped (h, w*cb) is an aligned minor-merge, so no in-kernel
+    transpose and no (w, hp*cb) scratch copy:
+
+        g_y = Ay_py-major (p*RT, h) @ F (h, w*cb)      # rows (py, r)
+        g2  = lane-concat of per-py slabs               # (RT*w, p*cb)
+        out = Axbd (RT*pp, RT*w) @ g2                   # rows (r, px)
+
+    The result rows come out (r, px, py, cb) — the WRAPPER swaps the two
+    pooled axes back to the (r, py, px, cb) convention (a cheap XLA
+    transpose of the small pooled array, outside the kernel).  Level gating
+    identical to _fwd_kernel_lv."""
+    cb = feat_ref.shape[-1]
+    prec = _precision(feat_ref.dtype)
+    sel = lv_ref[:, 0] == level
+    active = jnp.any(sel)
+
+    @pl.when(active)
+    def _():
+        rois = rois_ref[:, :]
+        ay = _tile_matrices(rois, 1, 3, h, p, sr, scale, feat_ref.dtype)
+        ax = _tile_matrices(rois, 0, 2, w, p, sr, scale, feat_ref.dtype)
+        f2 = feat_ref[0, :, :, :].reshape(h, w * cb)     # aligned minor-merge
+        g = jnp.dot(ay.transpose(1, 0, 2).reshape(p * rt, h), f2,
+                    preferred_element_type=jnp.float32, precision=prec)
+        g = g.astype(feat_ref.dtype)                     # (p*RT, w*cb)
+        slabs = [g[py * rt:(py + 1) * rt, :].reshape(rt * w, cb)
+                 for py in range(p)]
+        g2 = jnp.concatenate(slabs, axis=1)              # (RT*w, p*cb)
+        axp = jnp.pad(ax, ((0, 0), (0, 8 - p % 8 if p % 8 else 0), (0, 0)))
+        pp = axp.shape[1]
+        ax_f = axp.reshape(rt * pp, w)
+        row_r = jax.lax.broadcasted_iota(jnp.int32, (rt * pp, rt * w), 0) // pp
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rt * pp, rt * w), 1) // w
+        axbd = jnp.where(row_r == lane_r,
+                         jnp.tile(ax_f, (1, rt)), 0).astype(ax.dtype)
+        out = jnp.dot(axbd, g2, preferred_element_type=jnp.float32,
+                      precision=prec)                    # (RT*pp, p*CB)
+        out = out.reshape(rt, pp, p, cb)[:, :p]          # (r, px, py, cb)
+        out = jnp.where(sel[:, None, None, None], out, 0.0)
+        out_ref[:, :, :, :] = out.astype(out_ref.dtype)
+
+    @pl.when(jnp.logical_not(active))
+    def _():
+        out_ref[:, :, :, :] = jnp.zeros_like(out_ref)
+
+
+def _bwd_kernel_lv_yf(rois_ref, lv_ref, g_ref, dfeat_ref, acc_ref, *,
+                      p, sr, scale, h, w, level, rt, h_chunk):
+    """Adjoint of _fwd_kernel_lv_yf: dF accumulated in the NATURAL (h, w*cb)
+    layout (no final transpose).  The wrapper pre-swaps incoming dOut to the
+    kernel's (r, px, py, cb) order.  The H-side update matmul runs in
+    h_chunk row blocks so the f32 transient stays small; the accumulator is
+    kept in the feature dtype (same precision call as the shipped pool
+    backward — commit 'Pool-backward scatter accumulates in the feature
+    dtype')."""
+    rt_i = pl.program_id(1)
+    cb = dfeat_ref.shape[-1]
+    dtype = g_ref.dtype
+    prec = _precision(dtype)
+    sel = lv_ref[:, 0] == level
+    active = jnp.any(sel)
+
+    @pl.when(rt_i == 0)
+    def _():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref[:, :])
+
+    @pl.when(active)
+    def _():
+        rois = rois_ref[:, :]
+        ay = _tile_matrices(rois, 1, 3, h, p, sr, scale, dtype)
+        ax = _tile_matrices(rois, 0, 2, w, p, sr, scale, dtype)
+        dout = g_ref[:, :, :, :]                         # (RT, px, py, CB)
+        dout = jnp.where(sel[:, None, None, None], dout, 0.0)
+        pp = (p + 7) // 8 * 8
+        dout = jnp.pad(dout, ((0, 0), (0, pp - p), (0, 0), (0, 0)))
+        dout2 = dout.reshape(rt * pp, p * cb)            # rows (r, px)
+        axp = jnp.pad(ax, ((0, 0), (0, pp - p), (0, 0)))
+        ax_t = axp.reshape(rt * pp, w).T                 # (w, RT*pp)
+        row_r = jax.lax.broadcasted_iota(jnp.int32, (rt * w, rt * pp), 0) // w
+        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rt * w, rt * pp), 1) // pp
+        axbd_t = jnp.where(row_r == lane_r,
+                           jnp.tile(ax_t, (rt, 1)), 0).astype(dtype)
+        dg2 = jnp.dot(axbd_t, dout2, preferred_element_type=jnp.float32,
+                      precision=prec).astype(dtype)      # (RT*w, p*CB)
+        dg = jnp.concatenate(
+            [dg2[:, py * cb:(py + 1) * cb].reshape(rt, w * cb)
+             for py in range(p)], axis=0)                # (p*RT, w*CB)
+        ay_s = ay.transpose(1, 0, 2).reshape(p * rt, h)  # rows (py, r)
+        for h0 in range(0, h, h_chunk):
+            hc = min(h_chunk, h - h0)
+            upd = jax.lax.dot_general(
+                ay_s[:, h0:h0 + hc], dg,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                          # (hc, w*CB)
+            acc_ref[h0:h0 + hc, :] = (acc_ref[h0:h0 + hc, :]
+                                      + upd.astype(acc_ref.dtype))
+
+    @pl.when(rt_i == pl.num_programs(1) - 1)
+    def _():
+        dfeat_ref[0, :, :, :] = acc_ref[:, :].reshape(
+            h, w, cb).astype(dfeat_ref.dtype)
+
+
 def level_fits_vmem(h: int, w: int, c: int, roi_tile: int = ROI_TILE,
-                    p: int = 7) -> bool:
+                    p: int = 7, chan_block: int = None) -> bool:
     """Whether the level kernels fit the v5e's 128 MB VMEM at this feature
     shape.  Mosaic's scoped-stack accounting runs ~2.4x the naive live-set
     estimate (measured: 121 MB scoped at (152, 256, cb=128, rt=16) vs ~50 MB
     naive), so gate on the calibrated model with headroom."""
-    cb = min(LEVEL_CHAN_BLOCK, c)
+    cb = min(chan_block or LEVEL_CHAN_BLOCK, c)
     hp = _hp(h)
     naive = (hp * w * cb * (2 + 2 + 2)            # fx scratch + feat x2 (bf16)
              + p * roi_tile * hp * cb * (4 + 2 + 2)   # g f32 + bf16 + g2
              + roi_tile * 8 * roi_tile * hp * 2)      # aybd
     return naive * 2.45 < 120 * 1024 * 1024
+
+
+def yfirst_fits_vmem(h: int, w: int, c: int, roi_tile: int, p: int = 7,
+                     chan_block: int = None, bwd: bool = False) -> bool:
+    """VMEM model for the y-first level kernels.  No x-major fx scratch —
+    the feature block is consumed in its natural layout — so the live set
+    is much smaller than the x-first kernels'; Mosaic's scoped accounting
+    runs ~2.0x this naive estimate here (measured on-chip: the (200, 304,
+    256) rt=8 forward compiles under the 126 MB limit where 2.45x of naive
+    49 MB would not)."""
+    cb = min(chan_block or LEVEL_CHAN_BLOCK, c)
+    if bwd:
+        naive = (h * w * cb * 2                         # feat-dtype accumulator
+                 + p * roi_tile * w * cb * (4 + 2 + 2)  # dg2 f32+bf16, dg
+                 + min(64, h) * w * cb * 4              # chunked upd transient
+                 + roi_tile * 8 * roi_tile * w * 2)     # axbd_t
+    else:
+        naive = (h * w * cb * 2 * 2                # feat block (+double buffer)
+                 + p * roi_tile * w * cb * (4 + 2 + 2)  # g_y f32 + bf16 + g2
+                 + roi_tile * 8 * roi_tile * w * 2)     # axbd
+    return naive * 2.0 < 120 * 1024 * 1024
+
+
+def level_tile_params(h: int, w: int, c: int, p: int = 7):
+    """(roi_tile, chan_block, variant) the level kernels can run at this
+    feature shape, or None if nothing fits the v5e VMEM budget.  Prefers the
+    x-first kernels (measured fastest at <=608x1024-class buckets); levels
+    too large for them — the 800x1216 bucket's P2 (200, 304, 256) — fall to
+    the transpose-free y-first variant, which keeps the feature block in its
+    natural layout and therefore fits; only absurd shapes return None.
+    Channel blocks below 128 are lane-illegal for blocked Pallas operands,
+    so only the roi tile and the contraction order are searched."""
+    if c % min(LEVEL_CHAN_BLOCK, c) != 0:
+        return None
+    for rt in (ROI_TILE, 8):
+        if level_fits_vmem(h, w, c, rt, p):
+            return rt, min(LEVEL_CHAN_BLOCK, c), "xfirst"
+    for rt in (ROI_TILE, 8):
+        if (yfirst_fits_vmem(h, w, c, rt, p)
+                and yfirst_fits_vmem(h, w, c, rt, p, bwd=True)):
+            return rt, min(LEVEL_CHAN_BLOCK, c), "yfirst"
+    return None
 
 
 LEVEL_CHAN_BLOCK = 128  # level kernels run tighter VMEM (P2 is large)
@@ -323,15 +475,19 @@ def _pad_rois_lv(rois, lv, rt):
 
 def roi_align_level_fwd(feat, rois, roi_levels, level: int, p: int,
                         scale: float, sr: int, roi_tile: int = ROI_TILE,
-                        interpret: bool = False):
+                        variant: str = "xfirst", interpret: bool = False):
     """Forward RoIAlign of `rois` against ONE pyramid level: rows with
     roi_levels != level come back zero.  rois should be sorted by level so
-    inactive roi tiles skip compute.  feat (H, W, C) → (R, p, p, C)."""
+    inactive roi tiles skip compute.  feat (H, W, C) → (R, p, p, C).
+    variant 'yfirst' selects the transpose-free large-level kernel (see
+    level_tile_params)."""
     h, w, c = feat.shape
     rois_p, lv_p, r_orig = _pad_rois_lv(rois, roi_levels, roi_tile)
     rt_n = rois_p.shape[0] // roi_tile
     cbl = _chan_block(c, LEVEL_CHAN_BLOCK)
-    kernel = functools.partial(_fwd_kernel_lv, p=p, sr=sr, scale=scale,
+    yfirst = variant == "yfirst"
+    kfn = _fwd_kernel_lv_yf if yfirst else _fwd_kernel_lv
+    kernel = functools.partial(kfn, p=p, sr=sr, scale=scale,
                                h=h, w=w, level=level, rt=roi_tile)
     out = pl.pallas_call(
         kernel,
@@ -348,17 +504,21 @@ def roi_align_level_fwd(feat, rois, roi_levels, level: int, p: int,
                                lambda cb, rti: (rti, 0, 0, cb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rois_p.shape[0], p, p, c), feat.dtype),
-        scratch_shapes=[pltpu.VMEM((w, _hp(h) * cbl), feat.dtype)],
+        scratch_shapes=([] if yfirst
+                        else [pltpu.VMEM((w, _hp(h) * cbl), feat.dtype)]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,
     )(rois_p, lv_p[:, None], feat[None])
+    if yfirst:
+        out = out.swapaxes(1, 2)     # kernel emits (r, px, py, cb)
     return out[:r_orig]
 
 
 def roi_align_level_bwd(g, rois, roi_levels, level: int, h: int, w: int,
                         dtype, p: int, scale: float, sr: int,
-                        roi_tile: int = ROI_TILE, interpret: bool = False):
+                        roi_tile: int = ROI_TILE, variant: str = "xfirst",
+                        interpret: bool = False):
     """Adjoint of roi_align_level_fwd w.r.t. the level's features: dOut rows
     of other levels are ignored.  g (R, p, p, C) → dfeat (H, W, C)."""
     c = g.shape[-1]
@@ -368,8 +528,17 @@ def roi_align_level_bwd(g, rois, roi_levels, level: int, h: int, w: int,
         g = jnp.pad(g, ((0, pad), (0, 0), (0, 0), (0, 0)))
     rt_n = rois_p.shape[0] // roi_tile
     cbl = _chan_block(c, LEVEL_CHAN_BLOCK)
-    kernel = functools.partial(_bwd_kernel_lv, p=p, sr=sr, scale=scale,
-                               h=h, w=w, level=level, rt=roi_tile)
+    yfirst = variant == "yfirst"
+    if yfirst:
+        g = g.swapaxes(1, 2)         # feed the kernel its (r, px, py, cb) order
+        kernel = functools.partial(_bwd_kernel_lv_yf, p=p, sr=sr, scale=scale,
+                                   h=h, w=w, level=level, rt=roi_tile,
+                                   h_chunk=64)
+        scratch = [pltpu.VMEM((h, w * cbl), dtype)]
+    else:
+        kernel = functools.partial(_bwd_kernel_lv, p=p, sr=sr, scale=scale,
+                                   h=h, w=w, level=level, rt=roi_tile)
+        scratch = [pltpu.VMEM((w, _hp(h) * cbl), jnp.float32)]
     dfeat = pl.pallas_call(
         kernel,
         grid=(c // cbl, rt_n),
@@ -385,7 +554,7 @@ def roi_align_level_bwd(g, rois, roi_levels, level: int, h: int, w: int,
         out_specs=pl.BlockSpec((1, h, w, cbl), lambda cb, rti: (0, 0, 0, cb),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, h, w, c), dtype),
-        scratch_shapes=[pltpu.VMEM((w, _hp(h) * cbl), jnp.float32)],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,

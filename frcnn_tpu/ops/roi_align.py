@@ -535,14 +535,12 @@ _roi_align_multilevel_vjp.defvjp(_ml_fwd_rule, _ml_bwd_rule)
 
 
 def _level_roi_tile(h: int, w: int, c: int):
-    """ROI_TILE the level kernels can run at this feature shape, or None if
-    even the small tile blows the v5e VMEM budget."""
-    from frcnn_tpu.ops.pallas.roi_align_kernel import level_fits_vmem
+    """(roi_tile, chan_block, variant) the level kernels can run at this
+    feature shape, or None if nothing fits the v5e VMEM budget (large levels
+    switch to the transpose-free y-first kernel — see level_tile_params)."""
+    from frcnn_tpu.ops.pallas.roi_align_kernel import level_tile_params
 
-    for rt in (16, 8):
-        if level_fits_vmem(h, w, c, rt):
-            return rt
-    return None
+    return level_tile_params(h, w, c)
 
 
 def multilevel_pallas_fits(hw_list, c: int) -> bool:
@@ -589,9 +587,10 @@ def _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret):
     lv_s = jnp.take(levels, order, axis=0)
     out = None
     for li, (f, s) in enumerate(zip(feats, strides)):
-        rt = _level_roi_tile(*f.shape)
+        rt, _, variant = _level_roi_tile(*f.shape)
         o = roi_align_level_fwd(f, rois_s, lv_s, li, p, 1.0 / s, sr,
-                                roi_tile=rt, interpret=interpret)
+                                roi_tile=rt, variant=variant,
+                                interpret=interpret)
         out = o if out is None else out + o      # disjoint row supports
     return jnp.take(out, inv, axis=0)
 
@@ -613,10 +612,10 @@ def _ml_pallas_bwd_rule(strides, p, sr, interpret, res, g):
     dfeats = []
     for li, (t, s) in enumerate(zip(tokens, strides)):
         h, w, c = t.shape[1:]
-        rt = _level_roi_tile(h, w, c)
+        rt, _, variant = _level_roi_tile(h, w, c)
         dfeats.append(roi_align_level_bwd(
             g_s.astype(t.dtype), rois_s, lv_s, li, h, w, t.dtype, p,
-            1.0 / s, sr, roi_tile=rt, interpret=interpret))
+            1.0 / s, sr, roi_tile=rt, variant=variant, interpret=interpret))
     zeros_levels = np.zeros(levels.shape, jax.dtypes.float0)
     return dfeats, jnp.zeros_like(rois), zeros_levels
 

@@ -145,6 +145,50 @@ def test_multilevel_pallas_matches_gather(rng):
     assert not np.asarray(g_new[2]).any()  # empty level → zero gradient
 
 
+def test_level_tile_params_large_levels():
+    """The VMEM gate's parameter chooser: standard FPN levels keep the
+    x-first kernel at the full (16, 128) tile; a P2-sized level at the
+    800x1216 bucket (200, 304, 256) switches to the transpose-free y-first
+    variant instead of falling back to the gather form; an absurdly large
+    level still returns None."""
+    from frcnn_tpu.ops.pallas.roi_align_kernel import level_tile_params
+
+    assert level_tile_params(152, 256, 256) == (16, 128, "xfirst")
+    rt, cb, variant = level_tile_params(200, 304, 256)     # 800x1216 P2
+    assert variant == "yfirst" and cb == 128 and rt in (8, 16)
+    assert level_tile_params(800, 1216, 256) is None       # stride-1 absurdity
+    # an odd channel count still works as a single full-channel block
+    assert level_tile_params(32, 48, 72) == (16, 72, "xfirst")
+
+
+def test_level_kernel_yfirst_matches_xfirst(rng):
+    """The y-first (large-level) kernels must match the x-first path
+    bit-for-bit where both run — the contraction order changes blocking,
+    not math (both accumulate each output in one f32 MXU pass).  Runs fwd +
+    bwd through the interpreter, including an inactive-tile level gate."""
+    from frcnn_tpu.ops.pallas.roi_align_kernel import (roi_align_level_bwd,
+                                                       roi_align_level_fwd)
+
+    h, w, c, r = 16, 24, 128, 10
+    feat = jnp.asarray(rng.randn(h, w, c).astype(np.float32))
+    rois = jnp.asarray(random_boxes(rng, r, width=90, height=60, min_size=8))
+    lv = jnp.asarray((rng.randint(0, 2, r) * 2).astype(np.int32))  # 0 or 2
+    kw = dict(level=0, p=7, scale=0.25, sr=2, roi_tile=8, interpret=INTERPRET)
+    o_x = roi_align_level_fwd(feat, rois, lv, variant="xfirst", **kw)
+    o_y = roi_align_level_fwd(feat, rois, lv, variant="yfirst", **kw)
+    np.testing.assert_allclose(np.asarray(o_x), np.asarray(o_y),
+                               rtol=1e-6, atol=1e-6)
+
+    g = jnp.asarray(rng.randn(r, 7, 7, c).astype(np.float32))
+    bkw = dict(level=0, p=7, scale=0.25, sr=2, roi_tile=8, interpret=INTERPRET)
+    d_x = roi_align_level_bwd(g, rois, lv, h=h, w=w, dtype=jnp.float32,
+                              variant="xfirst", **bkw)
+    d_y = roi_align_level_bwd(g, rois, lv, h=h, w=w, dtype=jnp.float32,
+                              variant="yfirst", **bkw)
+    np.testing.assert_allclose(np.asarray(d_x), np.asarray(d_y),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_anchor_overlap_stats_matches_dense(rng):
     """anchor_target's fused IoU-reduction kernel vs the dense (K, G) form:
     structural results (argmax, tie membership) must match exactly; the max
