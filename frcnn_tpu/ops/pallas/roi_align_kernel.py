@@ -352,10 +352,9 @@ def _bwd_kernel_lv_yf(rois_ref, lv_ref, g_ref, dfeat_ref, acc_ref, *,
     """Adjoint of _fwd_kernel_lv_yf: dF accumulated in the NATURAL (h, w*cb)
     layout (no final transpose).  The wrapper pre-swaps incoming dOut to the
     kernel's (r, px, py, cb) order.  The H-side update matmul runs in
-    h_chunk row blocks so the f32 transient stays small; the accumulator is
-    kept in the feature dtype (same precision call as the shipped pool
-    backward — commit 'Pool-backward scatter accumulates in the feature
-    dtype')."""
+    h_chunk (= YF_H_CHUNK) row blocks so the f32 transient stays small; the
+    accumulator scratch is f32 so cross-roi-tile accumulation matches the
+    x-first kernel's precision even with bf16 features (ADVICE r2)."""
     rt_i = pl.program_id(1)
     cb = dfeat_ref.shape[-1]
     dtype = g_ref.dtype
@@ -429,9 +428,9 @@ def yfirst_fits_vmem(h: int, w: int, c: int, roi_tile: int, p: int = 7,
     49 MB would not)."""
     cb = min(chan_block or LEVEL_CHAN_BLOCK, c)
     if bwd:
-        naive = (h * w * cb * 2                         # feat-dtype accumulator
+        naive = (h * w * cb * 4                         # f32 dF accumulator
                  + p * roi_tile * w * cb * (4 + 2 + 2)  # dg2 f32+bf16, dg
-                 + min(64, h) * w * cb * 4              # chunked upd transient
+                 + min(YF_H_CHUNK, h) * w * cb * 4      # chunked upd transient
                  + roi_tile * 8 * roi_tile * w * 2)     # axbd_t
     else:
         naive = (h * w * cb * 2 * 2                # feat block (+double buffer)
@@ -462,6 +461,7 @@ def level_tile_params(h: int, w: int, c: int, p: int = 7):
 
 
 LEVEL_CHAN_BLOCK = 128  # level kernels run tighter VMEM (P2 is large)
+YF_H_CHUNK = 64  # y-first bwd H-matmul row block; yfirst_fits_vmem models it
 
 
 def _pad_rois_lv(rois, lv, rt):
@@ -533,8 +533,8 @@ def roi_align_level_bwd(g, rois, roi_levels, level: int, h: int, w: int,
         g = g.swapaxes(1, 2)         # feed the kernel its (r, px, py, cb) order
         kernel = functools.partial(_bwd_kernel_lv_yf, p=p, sr=sr, scale=scale,
                                    h=h, w=w, level=level, rt=roi_tile,
-                                   h_chunk=64)
-        scratch = [pltpu.VMEM((h, w * cbl), dtype)]
+                                   h_chunk=YF_H_CHUNK)
+        scratch = [pltpu.VMEM((h, w * cbl), jnp.float32)]
     else:
         kernel = functools.partial(_bwd_kernel_lv, p=p, sr=sr, scale=scale,
                                    h=h, w=w, level=level, rt=roi_tile)

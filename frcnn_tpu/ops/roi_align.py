@@ -587,7 +587,11 @@ def _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret):
     lv_s = jnp.take(levels, order, axis=0)
     out = None
     for li, (f, s) in enumerate(zip(feats, strides)):
-        rt, _, variant = _level_roi_tile(*f.shape)
+        params = _level_roi_tile(*f.shape)
+        assert params is not None, (
+            f"level {f.shape} exceeds the VMEM model — gate callers with "
+            "multilevel_pallas_fits")
+        rt, _, variant = params
         o = roi_align_level_fwd(f, rois_s, lv_s, li, p, 1.0 / s, sr,
                                 roi_tile=rt, variant=variant,
                                 interpret=interpret)
@@ -612,7 +616,11 @@ def _ml_pallas_bwd_rule(strides, p, sr, interpret, res, g):
     dfeats = []
     for li, (t, s) in enumerate(zip(tokens, strides)):
         h, w, c = t.shape[1:]
-        rt, _, variant = _level_roi_tile(h, w, c)
+        params = _level_roi_tile(h, w, c)
+        assert params is not None, (
+            f"level {(h, w, c)} exceeds the VMEM model — gate callers with "
+            "multilevel_pallas_fits")
+        rt, _, variant = params
         dfeats.append(roi_align_level_bwd(
             g_s.astype(t.dtype), rois_s, lv_s, li, h, w, t.dtype, p,
             1.0 / s, sr, roi_tile=rt, variant=variant, interpret=interpret))

@@ -1,14 +1,13 @@
 #!/usr/bin/env python
 """A/B the FPN pool forms at the 800x1216 bucket (P2 = 200x304, c=256).
 
-The matmul-form level kernels used to blow v5e VMEM at this bucket (P2
-wants 180 MB at cb=128) and fell back to the gather form; with the
-per-level channel-block reduction (level_tile_params -> cb=64 for P2-sized
-levels) they fit.  This probe checks parity of fwd + bwd vs the gather
-form on the chip and slope-times both, at the detect (300 roi) and train
-(128 roi) shapes.
+The x-first matmul-form level kernels blow v5e VMEM at this bucket (P2
+wants ~180 MB at cb=128); level_tile_params instead drops the roi tile to
+8 and switches to the transpose-free y-first variant (channel blocks below
+128 are lane-illegal, so cb stays 128).  This probe checks parity of
+fwd + bwd vs the gather form on the chip and slope-times both.
 
-Usage: python scripts/probe_pool_800.py [--rois 300] [--train]
+Usage: python scripts/probe_pool_800.py [--rois 300]
 """
 
 import argparse
