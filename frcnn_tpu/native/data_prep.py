@@ -14,6 +14,7 @@ from __future__ import annotations
 import ctypes
 import os.path as osp
 import subprocess
+import sys
 
 import numpy as np
 
@@ -43,6 +44,8 @@ def _load():
                  osp.join(_DIR, "data_prep.cc"), "-o", _SO] + libs,
                 check=True, capture_output=True, timeout=300)
         except Exception:
+            _warn_fallback("build failed (system OpenCV dev files or g++ "
+                           "unavailable)")
             return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -54,8 +57,16 @@ def _load():
             ctypes.POINTER(ctypes.c_int), ctypes.c_int]
         _lib = lib
     except OSError:
+        _warn_fallback("dlopen failed")
         _lib = None
     return _lib
+
+
+def _warn_fallback(why: str) -> None:
+    # Loud, once (guarded by _tried): silent degradation would hide a
+    # broken auto-build — the cv2 path is correct but single-threaded.
+    print(f"frcnn_tpu.native.data_prep: C++ prep worker unavailable "
+          f"({why}) — using python cv2 path", file=sys.stderr)
 
 
 def have_native() -> bool:

@@ -13,6 +13,7 @@ import ctypes
 import os
 import os.path as osp
 import subprocess
+import sys
 
 import numpy as np
 
@@ -52,6 +53,12 @@ def _load():
             break
         except OSError:
             continue
+    if _lib is None:
+        # Loud, once: the numpy fallback is correct but slower; a silent
+        # engage would hide a broken auto-build on a fresh checkout.
+        print("frcnn_tpu.native.host_ops: C++ library unavailable "
+              "(g++ build or dlopen failed) — using numpy fallback",
+              file=sys.stderr)
     return _lib
 
 
