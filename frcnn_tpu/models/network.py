@@ -278,7 +278,9 @@ class FasterRCNN(nn.Module):
                                             bbox_pred, pt)
         losses = jax.tree.map(jnp.mean, losses)
         aux = {"rois": pt.rois, "roi_labels": pt.labels, "cls_prob": cls_prob,
-               "n_fg": jnp.sum(pt.labels > 0), "n_proposals": jnp.sum(roi_valid)}
+               "n_fg": jnp.sum(pt.labels > 0), "n_proposals": jnp.sum(roi_valid),
+               "proposals": rois, "proposal_scores": roi_scores,
+               "proposal_valid": roi_valid}
         return losses, aux
 
     def __call__(self, images, im_info):
