@@ -279,9 +279,21 @@ class RoIDataLayer:
     def _get_next_minibatch_inds(self):
         if self._cur + self._batch > len(self._roidb):
             self._shuffle_roidb_inds()
-        inds = self._perm[self._cur : self._cur + self._batch]
-        self._cur += self._batch
-        return inds
+        if self._batch <= len(self._roidb):
+            inds = self._perm[self._cur : self._cur + self._batch]
+            self._cur += self._batch
+            return inds
+        # roidb smaller than the batch (tiny debug sets, large
+        # IMS_PER_BATCH): chain whole permutations until the batch fills —
+        # a short batch would break the fixed-shape graph and the
+        # batch-divides-mesh contract.  All randomness flows through
+        # self._rng, so get/set_state still resumes bit-exactly.
+        out = list(self._perm)
+        while len(out) < self._batch:
+            self._shuffle_roidb_inds()
+            out.extend(self._perm)
+        self._cur = len(self._roidb)  # consumed: force reshuffle next call
+        return np.asarray(out[: self._batch])
 
     def forward(self):
         inds = self._get_next_minibatch_inds()

@@ -33,18 +33,24 @@ def _cfg(root, snapshot_iters):
     )
 
 
-def _train(voc_root, out_dir, iters, snapshot_iters):
+def _train(voc_root, out_dir, iters, snapshot_iters, mesh=None,
+           ims_per_batch=2):
     from frcnn_tpu.engine.train import train_net, get_training_roidb
     from frcnn_tpu.models import build_model
 
     root, _ = voc_root
     cfg = _cfg(root, snapshot_iters)
+    if ims_per_batch != 2:
+        cfg = dataclasses.replace(
+            cfg, TRAIN=dataclasses.replace(cfg.TRAIN,
+                                           IMS_PER_BATCH=ims_per_batch))
     np.random.seed(cfg.RNG_SEED)
     ds, _ = make_voc(voc_root, split="trainval")
     ds.set_proposal_method("gt")
     roidb = get_training_roidb(ds, cfg)
     model = build_model("mobile", ds.num_classes, cfg)
-    return train_net(model, ds, roidb, None, out_dir, cfg=cfg, max_iters=iters)
+    return train_net(model, ds, roidb, None, out_dir, cfg=cfg,
+                     max_iters=iters, mesh=mesh)
 
 
 def test_interrupted_training_is_bit_exact(voc_root, tmp_path):
@@ -57,3 +63,35 @@ def test_interrupted_training_is_bit_exact(voc_root, tmp_path):
     for pa, pb in zip(jax.tree.leaves(state_a["params"]),
                       jax.tree.leaves(state_b["params"])):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_mesh_driver_resume_and_parity(voc_root, tmp_path):
+    """The --data-parallel seam end-to-end (VERDICT r2 Missing #2): train_net
+    with an 8-device mesh THROUGH SolverWrapper — snapshot-under-sharding →
+    from_snapshot → re-replicate, prefetch + shard_batch interplay, pruning —
+    must (a) resume bit-exactly and (b) match the meshless run on the same
+    global batches up to reduction-order float noise."""
+    from frcnn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8)
+    # A: mesh, 5 iters straight (global batch 8 = 1 image/device)
+    state_a = _train(voc_root, str(tmp_path / "ma"), 5, snapshot_iters=100,
+                     mesh=mesh, ims_per_batch=8)
+    # B: mesh, interrupt at 3 (snapshot), auto-resume same dir to 5
+    _train(voc_root, str(tmp_path / "mb"), 3, snapshot_iters=3,
+           mesh=mesh, ims_per_batch=8)
+    state_b = _train(voc_root, str(tmp_path / "mb"), 5, snapshot_iters=100,
+                     mesh=mesh, ims_per_batch=8)
+    # C: meshless, same global batch and data order
+    state_c = _train(voc_root, str(tmp_path / "mc"), 5, snapshot_iters=100,
+                     mesh=None, ims_per_batch=8)
+
+    leaves_a = jax.tree.leaves(state_a["params"])
+    for pa, pb in zip(leaves_a, jax.tree.leaves(state_b["params"])):
+        np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+    # mesh vs meshless: the grad psum reduces in a different order than the
+    # single-device batch mean — allclose, not equal
+    for pa, pc in zip(leaves_a, jax.tree.leaves(state_c["params"])):
+        np.testing.assert_allclose(np.asarray(pa, np.float32),
+                                   np.asarray(pc, np.float32),
+                                   rtol=2e-4, atol=2e-5)
