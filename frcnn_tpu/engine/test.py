@@ -14,6 +14,7 @@ on the host.  One compilation per (bucket, batch) shape.
 
 from __future__ import annotations
 
+import os
 import os.path as osp
 import pickle
 from functools import partial
@@ -185,6 +186,7 @@ def test_net(model, variables, imdb, cfg: Config | None = None,
             raise item
         flush(*item)
 
+    os.makedirs(output_dir, exist_ok=True)
     det_file = osp.join(output_dir, "detections.pkl")
     with open(det_file, "wb") as f:
         pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)

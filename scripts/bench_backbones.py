@@ -28,13 +28,18 @@ ALL_NETS = ("mobile", "vgg16", "res50", "res101", "res152", "res50_fpn")
 
 
 def main():
-    nets = sys.argv[1:] or ALL_NETS
+    args = sys.argv[1:]
+    bucket = (608, 1024)
+    if args and args[0] == "--bucket":  # e.g. --bucket 800x1216
+        bucket = tuple(int(v) for v in args[1].split("x"))
+        args = args[2:]
+    nets = args or ALL_NETS
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     batch = 8 if on_tpu else 1
     cfg = default_config()
     cfg = dataclasses.replace(
-        cfg, TPU=dataclasses.replace(cfg.TPU, BUCKETS=((608, 1024),)))
+        cfg, TPU=dataclasses.replace(cfg.TPU, BUCKETS=(bucket,)))
     h, w = cfg.TPU.BUCKETS[0]
     rng = np.random.RandomState(0)
     raw = rng.uniform(0, 255, (batch, h, w, 3)).astype(np.float32)
