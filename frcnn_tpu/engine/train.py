@@ -127,6 +127,20 @@ def _param_labels(model, params) -> Any:
     return out
 
 
+def stop_frozen_gradients(labels, params):
+    """Reference ``requires_grad=False`` semantics (resnet_v1.py freezes
+    FIXED_BLOCKS + every BN): stop_gradient on frozen leaves, so AD prunes
+    their wgrads AND stops the backward below the deepest trainable layer
+    (at FIXED_BLOCKS=1 nothing under layer2's input is differentiated —
+    the stride-4 layer1, the most HBM-bound stage, drops out of the
+    backward entirely).  The optimizer's set_to_zero group made these
+    updates inert already; this stops paying for computing them.  Grads of
+    stopped leaves come back as zeros, so tree shapes are unchanged."""
+    return jax.tree.map(
+        lambda lab, x: jax.lax.stop_gradient(x) if lab == "frozen" else x,
+        labels, params)
+
+
 def make_lr_schedule(cfg: Config):
     """Step decay: LEARNING_RATE * GAMMA^(#STEPSIZEs passed), with optional
     linear warmup (WARMUP_ITERS/WARMUP_FACTOR — needed for from-scratch
@@ -225,13 +239,15 @@ class SolverWrapper:
             self.state = replicate(self.state, self.mesh)
 
         model, tx = self.model, self.tx
+        labels = _param_labels(self.model, params)
 
         def train_step(state, data, im_info, gt_boxes, gt_labels, gt_valid, key):
             dkey, skey = jax.random.split(key)
 
             def loss_fn(params):
+                p = stop_frozen_gradients(labels, params)
                 losses, _aux = model.apply(
-                    {"params": params}, data, im_info, gt_boxes, gt_labels,
+                    {"params": p}, data, im_info, gt_boxes, gt_labels,
                     gt_valid, skey, method="train_forward",
                     rngs={"dropout": dkey})
                 return losses["total_loss"], losses

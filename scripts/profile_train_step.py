@@ -29,12 +29,18 @@ from frcnn_tpu.models.backbones import pack_images
 
 
 def step_time(model, tx, state, feed, n_lo=3, n_hi=9):
-    """Slope-timed seconds per train step."""
+    """Slope-timed seconds per train step (mirrors SolverWrapper's step,
+    including stop_frozen_gradients unless --nofreeze)."""
+    from frcnn_tpu.engine.train import _param_labels, stop_frozen_gradients
+
+    labels = _param_labels(model, state["params"])
+    freeze = "--nofreeze" not in sys.argv
 
     def one_step(state, key):
         def loss_fn(params):
+            p = stop_frozen_gradients(labels, params) if freeze else params
             losses, _ = model.apply(
-                {"params": params}, feed["data"], feed["im_info"],
+                {"params": p}, feed["data"], feed["im_info"],
                 feed["gt_boxes"], feed["gt_labels"], feed["gt_valid"], key,
                 method="train_forward", rngs={"dropout": key})
             return losses["total_loss"]
