@@ -26,10 +26,11 @@ from flax import linen as nn
 
 from frcnn_tpu.config import Config
 from frcnn_tpu.models.backbones import Bottleneck, FrozenBatchNorm, _RESNET_DEPTHS, conv_init
-from frcnn_tpu.models.losses import detection_losses
-from frcnn_tpu.models.network import postprocess_detections, decode_boxes
+from frcnn_tpu.models.losses import detection_losses_compact
+from frcnn_tpu.models.network import (postprocess_detections, decode_boxes,
+                                      gather_anchor_rows)
 from frcnn_tpu.models.proposals import proposal_layer
-from frcnn_tpu.models.targets import anchor_target_layer, proposal_target_layer
+from frcnn_tpu.models.targets import anchor_target_compact, proposal_target_layer
 from frcnn_tpu.ops.anchors import generate_anchors_pre
 from frcnn_tpu.ops.roi_align import (multilevel_pallas_fits,
                                      roi_align_multilevel,
@@ -232,18 +233,21 @@ class FasterRCNNFPN(nn.Module):
     def _rpn_all_levels(self, pyramid):
         """Shared RPN over P2..P6 → concatenated (B, K, ...) in level order.
 
-        Returns (cls, prob, box_rows, box_cells):
-          cls (B, K, 2) / box_rows (B, K, 4) — per-anchor rows for the train
-          losses.  Their (…, 2A/4A) → (K, ·) conversions are lane-padded
-          Mosaic relayouts costing ~3.7 ms at 800×1216 B8 (probe:
-          scripts/probe_fpn_rpn.py — heads and casts fuse to ~0, reshapes
-          don't), so the detect path must not consume them (XLA then DCEs
-          both) — `_propose` reads box_cells instead.
+        Returns (cls, prob, box_rows, box_cells, cls_cells):
+          cls (B, K, 2) / box_rows (B, K, 4) — dense per-anchor rows, kept
+          for oracle tests/probes only.  Their (…, 2A/4A) → (K, ·)
+          conversions are lane-padded Mosaic relayouts costing ~3.7 ms at
+          800×1216 B8 (probe: scripts/probe_fpn_rpn.py — heads and casts
+          fuse to ~0, reshapes don't), so NEITHER production path consumes
+          them (XLA then DCEs both): `_propose` reads box_cells and the
+          train loss gathers sampled rows from the cell views
+          (network.gather_anchor_rows).
           prob (B, K) — fg probability, sigmoid(fg−bg), A-MAJOR within each
           level (cls/box rows and the anchor table stay A-minor; _propose
           remaps its top-k indices).
-          box_cells — per-level (B, H·W, 4A) bf16 views of the bbox conv
-          output (a lane-preserving reshape, free) for cell-row gathering.
+          box_cells / cls_cells — per-level (B, H·W, 4A/2A) bf16 views of
+          the conv outputs (lane-preserving reshapes, free) for cell-row
+          gathering.
         """
         a_n = self._A
         # fg-probability head: sigmoid(fg − bg) depends only on the WEIGHT
@@ -256,7 +260,8 @@ class FasterRCNNFPN(nn.Module):
         # 800×1216 B8 in situ — scripts/probe_fpn_rpn.py.)
         dw = (self.rpn_cls_w[:, 1::2] - self.rpn_cls_w[:, 0::2])   # (C, A)
         db = (self.rpn_cls_b[1::2] - self.rpn_cls_b[0::2])         # (A,)
-        cls_list, prob_list, box_list, cell_list = [], [], [], []
+        cls_list, prob_list, box_list = [], [], []
+        cell_list, cls_cell_list = [], []
         for feat in pyramid:
             b, h, w, _ = feat.shape
             x = nn.relu(self.rpn_net(feat))
@@ -267,9 +272,10 @@ class FasterRCNNFPN(nn.Module):
             prob_list.append(jax.nn.sigmoid(d).reshape(b, a_n * h * w))
             cells = tokens @ self.rpn_box_w + self.rpn_box_b      # (B,HW,4A)
             cell_list.append(cells)
-            # per-anchor rows (A-minor, aligned with the anchor table) for
-            # the train losses; DCE'd on the detect path
             cls_map = tokens @ self.rpn_cls_w + self.rpn_cls_b    # (B,HW,2A)
+            cls_cell_list.append(cls_map)
+            # dense per-anchor rows (A-minor, aligned with the anchor table)
+            # for oracle tests; DCE'd on both production paths
             cls_list.append(
                 cls_map.reshape(b, h * w * a_n, 2).astype(jnp.float32))
             box_list.append(
@@ -277,7 +283,7 @@ class FasterRCNNFPN(nn.Module):
         cls = jnp.concatenate(cls_list, axis=1)
         box = jnp.concatenate(box_list, axis=1)
         prob = jnp.concatenate(prob_list, axis=1)   # A-major per level!
-        return cls, prob, box, cell_list
+        return cls, prob, box, cell_list, cls_cell_list
 
     def _anchors(self, pyramid):
         """Per-level anchors concatenated in the same order as the RPN
@@ -391,7 +397,7 @@ class FasterRCNNFPN(nn.Module):
     # -- modes ------------------------------------------------------------------
     def predict(self, images, im_info):
         pyramid = self._pyramid(images)
-        _, fg_prob, _, box_cells = self._rpn_all_levels(pyramid)
+        _, fg_prob, _, box_cells, _ = self._rpn_all_levels(pyramid)
         anchors = self._anchors(pyramid)
         rois, roi_scores, roi_valid = self._propose(
             pyramid, fg_prob, box_cells, anchors, im_info, train=False)
@@ -413,7 +419,7 @@ class FasterRCNNFPN(nn.Module):
         cfg = self.config
         b = images.shape[0]
         pyramid = self._pyramid(images)
-        rpn_cls, fg_prob, deltas, box_cells = self._rpn_all_levels(pyramid)
+        _, fg_prob, _, box_cells, cls_cells = self._rpn_all_levels(pyramid)
         anchors = self._anchors(pyramid)
 
         rois, _, roi_valid = self._propose(
@@ -423,7 +429,7 @@ class FasterRCNNFPN(nn.Module):
 
         keys = jax.random.split(key, 2 * b)
         at = jax.vmap(
-            lambda g, gv, i, k: anchor_target_layer(anchors, g, gv, i, k, cfg)
+            lambda g, gv, i, k: anchor_target_compact(anchors, g, gv, i, k, cfg)
         )(gt_boxes, gt_valid, im_info, keys[:b])
         pt = jax.vmap(
             lambda r, rv, g, gl, gv, k: proposal_target_layer(
@@ -432,8 +438,15 @@ class FasterRCNNFPN(nn.Module):
 
         pooled = self._pool(pyramid, pt.rois)
         cls_logits, cls_prob, bbox_pred = self._classify(pooled, train=True)
-        losses = jax.vmap(detection_losses)(rpn_cls, deltas, at, cls_logits,
-                                            bbox_pred, pt)
+        # RPN loss rows gathered at the sampled anchors only — the dense
+        # (B, K, 2)/(B, K, 4) per-anchor rows (and their lane-padded Mosaic
+        # relayouts + O(K) loss backward) never enter the train graph.
+        cls_rows = gather_anchor_rows(
+            jnp.concatenate(cls_cells, axis=1), at.sel, self._A, 2)
+        box_rows = gather_anchor_rows(
+            jnp.concatenate(box_cells, axis=1), at.sel, self._A, 4)
+        losses = jax.vmap(detection_losses_compact)(cls_rows, box_rows, at,
+                                                    cls_logits, bbox_pred, pt)
         losses = jax.tree.map(jnp.mean, losses)
         aux = {"rois": pt.rois, "roi_labels": pt.labels,
                "n_fg": jnp.sum(pt.labels > 0)}

@@ -40,9 +40,33 @@ def softmax_ce(logits, labels, weight=None):
     return jnp.sum(ce * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+def _roi_losses(cls_logits, bbox_pred, pt):
+    """RoI-head pair of the 4-loss objective (shared by both RPN layouts)."""
+    cross_entropy = softmax_ce(cls_logits, pt.labels)
+    # reference dim=[1]: sum over the 4C columns, mean over rois
+    sigma2 = 1.0
+    diff = pt.bbox_inside_weights * (bbox_pred - pt.bbox_targets)
+    abs_diff = jnp.abs(diff)
+    per = jnp.where(abs_diff < 1.0 / sigma2, 0.5 * sigma2 * diff * diff,
+                    abs_diff - 0.5 / sigma2)
+    loss_box = jnp.mean(jnp.sum(pt.bbox_outside_weights * per, axis=-1))
+    return cross_entropy, loss_box
+
+
+def _pack_losses(rpn_cross_entropy, rpn_loss_box, cross_entropy, loss_box):
+    total = rpn_cross_entropy + rpn_loss_box + cross_entropy + loss_box
+    return {
+        "rpn_cross_entropy": rpn_cross_entropy,
+        "rpn_loss_box": rpn_loss_box,
+        "cross_entropy": cross_entropy,
+        "loss_box": loss_box,
+        "total_loss": total,
+    }
+
+
 def detection_losses(rpn_cls_logits, rpn_bbox_pred, anchor_targets,
                      cls_logits, bbox_pred, proposal_targets):
-    """The 4-loss sum (reference _add_losses).
+    """The 4-loss sum (reference _add_losses), dense-RPN layout.
 
     rpn_cls_logits: (K, 2); rpn_bbox_pred: (K, 4); cls_logits: (B, C);
     bbox_pred: (B, 4C).  All single-image (callers vmap + mean over batch).
@@ -54,21 +78,28 @@ def detection_losses(rpn_cls_logits, rpn_bbox_pred, anchor_targets,
     rpn_loss_box = smooth_l1_loss(rpn_bbox_pred, at.bbox_targets,
                                   at.bbox_inside_weights, at.bbox_outside_weights,
                                   sigma=3.0)
+    return _pack_losses(rpn_cross_entropy, rpn_loss_box,
+                        *_roi_losses(cls_logits, bbox_pred, pt))
 
-    cross_entropy = softmax_ce(cls_logits, pt.labels)
-    # reference dim=[1]: sum over the 4C columns, mean over rois
-    sigma2 = 1.0
-    diff = pt.bbox_inside_weights * (bbox_pred - pt.bbox_targets)
-    abs_diff = jnp.abs(diff)
-    per = jnp.where(abs_diff < 1.0 / sigma2, 0.5 * sigma2 * diff * diff,
-                    abs_diff - 0.5 / sigma2)
-    loss_box = jnp.mean(jnp.sum(pt.bbox_outside_weights * per, axis=-1))
 
-    total = rpn_cross_entropy + rpn_loss_box + cross_entropy + loss_box
-    return {
-        "rpn_cross_entropy": rpn_cross_entropy,
-        "rpn_loss_box": rpn_loss_box,
-        "cross_entropy": cross_entropy,
-        "loss_box": loss_box,
-        "total_loss": total,
-    }
+def detection_losses_compact(rpn_cls_rows, rpn_box_rows, compact_targets,
+                             cls_logits, bbox_pred, proposal_targets):
+    """The 4-loss sum with the RPN terms over SAMPLED rows only.
+
+    rpn_cls_rows: (S, 2) / rpn_box_rows: (S, 4) — the head outputs gathered
+    at ``compact_targets.sel`` (see targets.anchor_target_compact).  Value-
+    identical to ``detection_losses`` on the dense layout: unsampled anchors
+    contribute exactly 0 there (CE weight 0; smooth-L1 inside weight 0 for
+    bg, outside weight 0 for unsampled), so restricting the sums to the
+    sampled slots changes only float summation order.  The dense layout's
+    O(K) loss work and O(K) head-row materialization (FPN: (B, 117k, 2)+
+    (B, 117k, 4) f32 Mosaic relayouts) drop to O(S)=O(384).
+    """
+    cat, pt = compact_targets, proposal_targets
+    rpn_select = (cat.labels >= 0).astype(jnp.float32)
+    rpn_cross_entropy = softmax_ce(rpn_cls_rows, cat.labels, rpn_select)
+    rpn_loss_box = smooth_l1_loss(rpn_box_rows, cat.bbox_targets,
+                                  cat.bbox_inside_weights,
+                                  cat.bbox_outside_weights, sigma=3.0)
+    return _pack_losses(rpn_cross_entropy, rpn_loss_box,
+                        *_roi_losses(cls_logits, bbox_pred, pt))

@@ -30,11 +30,12 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from frcnn_tpu.config import Config
-from frcnn_tpu.models.losses import detection_losses
+from frcnn_tpu.models.losses import detection_losses_compact
 from frcnn_tpu.models.proposals import (proposal_layer,  # noqa: F401
                                          proposal_layer_batch,
                                          proposal_top_layer)
-from frcnn_tpu.models.targets import anchor_target_layer, proposal_target_layer
+from frcnn_tpu.models.targets import (anchor_target_compact,
+                                      proposal_target_layer)
 from frcnn_tpu.ops.anchors import generate_anchors_pre
 from frcnn_tpu.ops.boxes import bbox_transform_inv, clip_boxes
 from frcnn_tpu.ops.nms import batched_class_nms
@@ -100,6 +101,27 @@ def postprocess_detections(out, im_info, cfg, num_classes: int,
     return det, det_valid
 
 
+def gather_anchor_rows(cells, sel, a_n: int, d: int):
+    """Fetch per-anchor head rows for global A-minor anchor ids straight from
+    the (B, ΣHW, d·A) conv-cell layout: a row gather on the cell axis + an
+    A-way lane select.  Avoids materializing the (B, K, d) per-anchor rows —
+    a lane-padded Mosaic relayout costing ~3.7 ms at FPN's 800×1216 B8 scale
+    (scripts/probe_fpn_rpn.py) — when only S ≪ K sampled rows are consumed.
+
+    cells: (B, ΣHW, d·A) level-concatenated conv output, last axis split
+    (A, d) a-major; sel: (B, S) global anchor ids.  id = cell · A + a holds
+    across level boundaries because every level's anchor-count offset is
+    divisible by A.  Returns (B, S, d) f32.
+    """
+    b, s = sel.shape
+    cell = sel // a_n
+    a = sel % a_n
+    rows = jnp.take_along_axis(cells, cell[..., None], axis=1)  # (B, S, dA)
+    rows = rows.reshape(b, s, a_n, d)
+    pick = (a[..., None] == jnp.arange(a_n))[..., None]         # (B, S, A, 1)
+    return jnp.sum(jnp.where(pick, rows, 0.0), axis=2).astype(jnp.float32)
+
+
 class FasterRCNN(nn.Module):
     backbone: nn.Module
     num_classes: int
@@ -146,15 +168,17 @@ class FasterRCNN(nn.Module):
         return preprocess_images(images, self.config, self.dtype)
 
     def _rpn(self, feat):
-        """RPN conv head → (cls_logits (B,K,2), fg_prob (B,K), deltas (B,K,4))
-        in anchor order (row-major cells, A contiguous per cell).
+        """RPN conv head → (cls_logits (B,K,2), fg_prob (B,K), deltas (B,K,4),
+        cls_cells (B,HW,2A)) in anchor order (row-major cells, A contiguous
+        per cell).
 
         fg_prob is computed straight off the (B,H,W,2A) conv map as
         sigmoid(fg_logit − bg_logit) — identical to softmax(...)[..., 1] but
         without the (…, 2A) → (K, 2) relayout, which Mosaic handles badly
         (measured 0.56 ms vs 0.003 ms at the detect shape).  The (B,K,2)
-        logits reshape is only materialized for the train loss; XLA removes
-        it from the detect graph where `cls` is unused."""
+        logits reshape exists only for oracle tests/probes; both production
+        paths leave it unconsumed (detect doesn't need it, the train loss
+        gathers sampled rows from cls_cells) so XLA removes it."""
         b, h, w, _ = feat.shape
         x = nn.relu(self.rpn_net(feat))
         cls_map = self.rpn_cls_score(x).astype(jnp.float32)  # (B,H,W,2A)
@@ -162,7 +186,7 @@ class FasterRCNN(nn.Module):
         prob = jax.nn.sigmoid(
             cls_map[..., 1::2] - cls_map[..., 0::2]).reshape(b, h * w * self._A)
         cls = cls_map.reshape(b, h * w * self._A, 2)
-        return cls, prob, box
+        return cls, prob, box, cls_map.reshape(b, h * w, 2 * self._A)
 
     def _anchors(self, feat_shape):
         h, w = feat_shape[1], feat_shape[2]
@@ -204,7 +228,7 @@ class FasterRCNN(nn.Module):
         cfg = self.config
         x = self._preprocess(images)
         feat = self.backbone.extract_features(x)
-        _, fg_prob, deltas = self._rpn(feat)
+        _, fg_prob, deltas, _ = self._rpn(feat)
         anchors = self._anchors(feat.shape)
 
         if cfg.TEST.MODE == "top":
@@ -251,7 +275,7 @@ class FasterRCNN(nn.Module):
         b = images.shape[0]
         x = self._preprocess(images)
         feat = self.backbone.extract_features(x)
-        rpn_cls, fg_prob, deltas = self._rpn(feat)
+        _, fg_prob, deltas, cls_cells = self._rpn(feat)
         anchors = self._anchors(feat.shape)
 
         rois, roi_scores, roi_valid = proposal_layer_batch(
@@ -264,7 +288,7 @@ class FasterRCNN(nn.Module):
 
         keys = jax.random.split(key, 2 * b)
         at = jax.vmap(
-            lambda g, gv, i, k: anchor_target_layer(anchors, g, gv, i, k, cfg)
+            lambda g, gv, i, k: anchor_target_compact(anchors, g, gv, i, k, cfg)
         )(gt_boxes, gt_valid, im_info, keys[:b])
         pt = jax.vmap(
             lambda r, rv, g, gl, gv, k: proposal_target_layer(
@@ -274,8 +298,13 @@ class FasterRCNN(nn.Module):
         pooled = self._pool(feat, pt.rois)
         cls_logits, cls_prob, bbox_pred = self._classify(pooled, train=True)
 
-        losses = jax.vmap(detection_losses)(rpn_cls, deltas, at, cls_logits,
-                                            bbox_pred, pt)
+        # RPN loss terms over the sampled rows only (see anchor_target_compact
+        # / detection_losses_compact): head rows fetched at at.sel, the dense
+        # (B, K, 2) logits rows never enter the train graph.
+        cls_rows = gather_anchor_rows(cls_cells, at.sel, self._A, 2)
+        box_rows = jnp.take_along_axis(deltas, at.sel[..., None], axis=1)
+        losses = jax.vmap(detection_losses_compact)(cls_rows, box_rows, at,
+                                                    cls_logits, bbox_pred, pt)
         losses = jax.tree.map(jnp.mean, losses)
         aux = {"rois": pt.rois, "roi_labels": pt.labels, "cls_prob": cls_prob,
                "n_fg": jnp.sum(pt.labels > 0), "n_proposals": jnp.sum(roi_valid),

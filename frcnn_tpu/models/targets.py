@@ -42,19 +42,28 @@ def _rank_by_random_priority(mask, key):
     return jnp.where(mask, rank, n)
 
 
+def _subsample_idx(mask, max_quota: int, quota, key):
+    """Indices of min(quota, sum(mask)) True entries of ``mask`` sampled
+    uniformly without replacement: ``idx (max_quota,)`` anchor ids and
+    ``take (max_quota,)`` marking the live slots (the rest are top_k filler
+    whose consumers must weight them 0).  ``max_quota`` must be a static
+    upper bound for the (possibly traced) ``quota``."""
+    n = mask.shape[0]
+    pri = jnp.where(mask, 1.0 + jax.random.uniform(key, (n,)), -1.0)
+    vals, idx = jax.lax.top_k(pri, max_quota)
+    take = (jnp.arange(max_quota) < quota) & (vals > 0.0)
+    return idx, take
+
+
 def _subsample_mask(mask, max_quota: int, quota, key):
     """Keep min(quota, sum(mask)) True entries of ``mask`` uniformly without
     replacement.  Selection-identical to ``_rank_by_random_priority(mask,
     key) < quota`` (both keep the top-``quota`` entries by the same iid
     uniform priority) but via a static-k ``top_k`` instead of a full argsort
     — at RPN scale (155k anchors for FPN) the two argsorts were most of
-    anchor_target_layer's 15.6 ms.  ``max_quota`` must be a static upper
-    bound for the (possibly traced) ``quota``."""
-    n = mask.shape[0]
-    pri = jnp.where(mask, 1.0 + jax.random.uniform(key, (n,)), -1.0)
-    vals, idx = jax.lax.top_k(pri, max_quota)
-    take = (jnp.arange(max_quota) < quota) & (vals > 0.0)
-    return jnp.zeros(n, bool).at[idx].set(take, mode="drop")
+    anchor_target_layer's 15.6 ms."""
+    idx, take = _subsample_idx(mask, max_quota, quota, key)
+    return jnp.zeros(mask.shape[0], bool).at[idx].set(take, mode="drop")
 
 
 class AnchorTargets(NamedTuple):
@@ -64,12 +73,12 @@ class AnchorTargets(NamedTuple):
     bbox_outside_weights: jnp.ndarray  # (K, 4)
 
 
-def anchor_target_layer(anchors, gt_boxes, gt_valid, im_info, key, cfg) -> AnchorTargets:
-    """RPN training targets (reference anchor_target_layer).
-
-    anchors: (K, 4); gt_boxes: (G, 4) padded; gt_valid: (G,) bool;
-    im_info: (3,) [h, w, scale]; key: PRNG key.
-    """
+def _anchor_pre_labels(anchors, gt_boxes, gt_valid, im_info, cfg):
+    """Steps 1-2 of the anchor target layer: inside-image filtering, IoU
+    stats, and threshold/argmax-per-gt labels BEFORE fg/bg subsampling.
+    Returns (labels (K,) in {1, 0, -1}, argmax_overlaps (K,)).  Shared by the
+    dense ``anchor_target_layer`` (reference layout) and the compact
+    ``anchor_target_compact`` (sampled-rows layout for the train loss)."""
     t = cfg.TRAIN
     k = anchors.shape[0]
 
@@ -121,6 +130,19 @@ def anchor_target_layer(anchors, gt_boxes, gt_valid, im_info, key, cfg) -> Ancho
     else:
         labels = jnp.where(inside & pos, 1, labels)
         labels = jnp.where(inside & neg, 0, labels)
+    return labels, argmax_overlaps
+
+
+def anchor_target_layer(anchors, gt_boxes, gt_valid, im_info, key, cfg) -> AnchorTargets:
+    """RPN training targets (reference anchor_target_layer).
+
+    anchors: (K, 4); gt_boxes: (G, 4) padded; gt_valid: (G,) bool;
+    im_info: (3,) [h, w, scale]; key: PRNG key.
+    """
+    t = cfg.TRAIN
+    k = anchors.shape[0]
+    labels, argmax_overlaps = _anchor_pre_labels(
+        anchors, gt_boxes, gt_valid, im_info, cfg)
 
     # 3. subsample: at most RPN_FG_FRACTION*RPN_BATCHSIZE fg, fill with bg
     kf, kb = jax.random.split(key)
@@ -161,6 +183,77 @@ def anchor_target_layer(anchors, gt_boxes, gt_valid, im_info, key, cfg) -> Ancho
         outside_w = jnp.where((labels == 0)[:, None], nw, outside_w)
 
     return AnchorTargets(labels, targets, inside_w, outside_w.astype(targets.dtype))
+
+
+class CompactAnchorTargets(NamedTuple):
+    """anchor_target_layer output restricted to the sampled rows.
+
+    S = num_fg_quota + RPN_BATCHSIZE slots (static): the fg top-k slots
+    first, then the bg top-k slots.  Dead slots carry label -1 and zero
+    weights, so every loss consumer weights them out — exactly like the
+    dense layout's unsampled anchors."""
+
+    sel: jnp.ndarray             # (S,) int32 anchor ids (filler on dead slots)
+    labels: jnp.ndarray          # (S,) int32: 1 fg, 0 bg, -1 dead slot
+    bbox_targets: jnp.ndarray    # (S, 4)
+    bbox_inside_weights: jnp.ndarray   # (S, 4)
+    bbox_outside_weights: jnp.ndarray  # (S, 4)
+
+
+def anchor_target_compact(anchors, gt_boxes, gt_valid, im_info, key,
+                          cfg) -> CompactAnchorTargets:
+    """``anchor_target_layer`` in sampled-rows form: instead of dense (K,)
+    labels and (K, 4) targets/weights over all anchors (FPN: K ≈ 117k at
+    608×1024 — the dense layout makes the RPN losses and their backward
+    O(K) for ≤256 live rows), emit only the S = fg_quota + RPN_BATCHSIZE
+    sampled slots plus the anchor ids to fetch head rows for.
+
+    Selection-identical to the dense layer for the same ``key``: both draw
+    the same iid priorities and keep the same top-k (tests/test_targets.py
+    asserts the equivalence), so the loss values match the reference
+    semantics bit-for-bit up to summation order.
+    """
+    t = cfg.TRAIN
+    labels0, argmax_overlaps = _anchor_pre_labels(
+        anchors, gt_boxes, gt_valid, im_info, cfg)
+
+    kf, kb = jax.random.split(key)
+    num_fg = int(t.RPN_FG_FRACTION * t.RPN_BATCHSIZE)
+    fg_mask = labels0 == 1
+    bg_mask = labels0 == 0
+    fg_idx, fg_take = _subsample_idx(fg_mask, num_fg, num_fg, kf)
+    n_fg = jnp.minimum(jnp.sum(fg_mask), num_fg)
+    bg_idx, bg_take = _subsample_idx(bg_mask, t.RPN_BATCHSIZE,
+                                     t.RPN_BATCHSIZE - n_fg, kb)
+
+    sel = jnp.concatenate([fg_idx, bg_idx])                 # (S,)
+    valid = jnp.concatenate([fg_take, bg_take])             # (S,)
+    s = sel.shape[0]
+    is_fg_slot = jnp.arange(s) < num_fg
+    labels = jnp.where(valid, jnp.where(is_fg_slot, 1, 0), -1)
+
+    # regression targets toward each selected anchor's argmax gt (tiny
+    # (S, G) one-hot matmul — the dense layer needs (K, G))
+    one_hot = (argmax_overlaps[sel][:, None]
+               == jnp.arange(gt_boxes.shape[0])[None, :])
+    matched_gt = one_hot.astype(gt_boxes.dtype) @ gt_boxes
+    targets = bbox_transform(anchors[sel], matched_gt)
+    fg_rows = (labels == 1)[:, None]
+    targets = jnp.where(fg_rows, targets, 0.0)
+
+    inside_w = jnp.where(fg_rows,
+                         jnp.asarray(t.BBOX_INSIDE_WEIGHTS, targets.dtype), 0.0)
+    num_examples = jnp.maximum(jnp.sum(valid), 1).astype(targets.dtype)
+    if t.RPN_POSITIVE_WEIGHT < 0:
+        outside_w = jnp.where((labels >= 0)[:, None], 1.0 / num_examples, 0.0)
+    else:
+        pw = t.RPN_POSITIVE_WEIGHT / jnp.maximum(jnp.sum(labels == 1), 1)
+        nw = (1.0 - t.RPN_POSITIVE_WEIGHT) / jnp.maximum(jnp.sum(labels == 0), 1)
+        outside_w = jnp.where((labels == 1)[:, None], pw, 0.0)
+        outside_w = jnp.where((labels == 0)[:, None], nw, outside_w)
+
+    return CompactAnchorTargets(sel, labels, targets, inside_w,
+                                outside_w.astype(targets.dtype))
 
 
 class ProposalTargets(NamedTuple):

@@ -68,7 +68,7 @@ def main():
     def rpn_train(im):
         def run(mdl, im):
             pyr = mdl._pyramid(im)
-            cls, prob, rows, cells = mdl._rpn_all_levels(pyr)
+            cls, prob, rows, cells, _ = mdl._rpn_all_levels(pyr)
             return [cls, prob, rows] + list(cells)
         return scalarize(model.apply(variables, im, method=run))
     dt = slope_time(rpn_train, (images,))
@@ -78,7 +78,7 @@ def main():
     def propose_train(im):
         def run(mdl, im):
             pyr = mdl._pyramid(im)
-            cls, prob, rows, cells = mdl._rpn_all_levels(pyr)
+            cls, prob, rows, cells, _ = mdl._rpn_all_levels(pyr)
             anchors = mdl._anchors(pyr)
             out = mdl._propose(pyr, jax.lax.stop_gradient(prob),
                                jax.tree.map(jax.lax.stop_gradient, cells),

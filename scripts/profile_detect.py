@@ -81,7 +81,7 @@ def main():
 
     def rpn_prop(f):
         def run(mdl, f):
-            _, fg_prob, deltas = mdl._rpn(f)
+            _, fg_prob, deltas, _ = mdl._rpn(f)
             anchors = mdl._anchors(f.shape)
             rois, scores, valid = proposal_layer_batch(
                 fg_prob, deltas, anchors, im_info,

@@ -64,7 +64,7 @@ def main():
             feat = mdl.backbone.extract_features(mdl._preprocess(im))
             if upto == "backbone":
                 return feat
-            _, fg_prob, deltas = mdl._rpn(feat)
+            _, fg_prob, deltas, _ = mdl._rpn(feat)
             if upto == "rpn":
                 return (fg_prob, deltas)
             anchors = mdl._anchors(feat.shape)

@@ -66,7 +66,7 @@ def main():
             pyr = mdl._pyramid(im)
             if upto == "pyramid":
                 return pyr
-            _, prob, _, cells = mdl._rpn_all_levels(pyr)
+            _, prob, _, cells, _ = mdl._rpn_all_levels(pyr)
             if upto == "rpn":
                 return [prob] + list(cells)
             anchors = mdl._anchors(pyr)

@@ -90,7 +90,7 @@ def test_fpn_propose_smoke(fpn_model):
 
     def run(mdl, im, ii):
         pyr = mdl._pyramid(im)
-        _, prob, _, cells = mdl._rpn_all_levels(pyr)
+        _, prob, _, cells, _ = mdl._rpn_all_levels(pyr)
         anchors = mdl._anchors(pyr)
         return mdl._propose(pyr, prob, cells, anchors, ii, train=False)
 
@@ -109,7 +109,7 @@ def test_fpn_prob_amajor_matches_cls_rows(fpn_model):
 
     def run(mdl, im):
         pyr = mdl._pyramid(im)
-        cls, prob, _, _ = mdl._rpn_all_levels(pyr)
+        cls, prob, _, _, _ = mdl._rpn_all_levels(pyr)
         sizes = [f.shape[1] * f.shape[2] * mdl._A for f in pyr]
         return cls, prob, sizes, mdl._A
 

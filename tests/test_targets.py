@@ -177,3 +177,61 @@ def test_proposal_target_gt_always_fg(rng):
     for g, lab in zip(gt, gl):
         match = (np.abs(out_rois - g).max(axis=1) < 1e-3)
         assert match.any() and (labels[match] == lab).all()
+
+
+def test_anchor_target_compact_matches_dense(rng):
+    """anchor_target_compact is the dense layer in sampled-rows form: same
+    key => same sampled set, same labels/targets/weights at those rows, and
+    the RPN loss pair computed on the compact layout equals the dense-layout
+    values (unsampled anchors contribute exactly 0 there)."""
+    from frcnn_tpu.models.losses import smooth_l1_loss, softmax_ce
+    from frcnn_tpu.models.targets import anchor_target_compact
+
+    for trial in range(3):
+        anchors, gt, im_info = _setup_anchor_case(rng, n_gt=3 + trial)
+        gv = np.ones(len(gt), bool)
+        args = (jnp.asarray(anchors), jnp.asarray(gt), jnp.asarray(gv),
+                jnp.asarray(im_info), jax.random.PRNGKey(100 + trial), CFG)
+        at = anchor_target_layer(*args)
+        cat = anchor_target_compact(*args)
+
+        labels = np.asarray(at.labels)
+        sel = np.asarray(cat.sel)
+        clab = np.asarray(cat.labels)
+
+        # same sampled set, same fg/bg split
+        dense_sampled = np.nonzero(labels >= 0)[0]
+        live = clab >= 0
+        np.testing.assert_array_equal(np.sort(sel[live]), dense_sampled)
+        np.testing.assert_array_equal(labels[sel[live]], clab[live])
+
+        # same per-row targets/weights on the live slots, zeros on dead ones
+        np.testing.assert_allclose(np.asarray(cat.bbox_targets)[live],
+                                   np.asarray(at.bbox_targets)[sel[live]],
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(cat.bbox_inside_weights)[live],
+            np.asarray(at.bbox_inside_weights)[sel[live]])
+        np.testing.assert_allclose(
+            np.asarray(cat.bbox_outside_weights)[live],
+            np.asarray(at.bbox_outside_weights)[sel[live]])
+        assert (np.asarray(cat.bbox_inside_weights)[~live] == 0).all()
+        assert (np.asarray(cat.bbox_outside_weights)[~live] == 0).all()
+
+        # loss equality through both layouts on the same random head outputs
+        k = anchors.shape[0]
+        r = np.random.RandomState(7 + trial)
+        cls = jnp.asarray(r.randn(k, 2).astype(np.float32))
+        box = jnp.asarray(r.randn(k, 4).astype(np.float32))
+        ce_dense = softmax_ce(cls, at.labels,
+                              (at.labels >= 0).astype(jnp.float32))
+        l1_dense = smooth_l1_loss(box, at.bbox_targets,
+                                  at.bbox_inside_weights,
+                                  at.bbox_outside_weights, sigma=3.0)
+        ce_c = softmax_ce(cls[cat.sel], cat.labels,
+                          (cat.labels >= 0).astype(jnp.float32))
+        l1_c = smooth_l1_loss(box[cat.sel], cat.bbox_targets,
+                              cat.bbox_inside_weights,
+                              cat.bbox_outside_weights, sigma=3.0)
+        np.testing.assert_allclose(float(ce_c), float(ce_dense), rtol=1e-5)
+        np.testing.assert_allclose(float(l1_c), float(l1_dense), rtol=1e-5)
