@@ -80,6 +80,26 @@ def voc_root(tmp_path_factory):
     return str(root), gt
 
 
+@pytest.fixture(scope="session")
+def voc_learnable_root(tmp_path_factory):
+    """Learnable synthetic VOCdevkit2007 via tools/make_synthetic_voc.py:
+    class-correlated colors, trainval 12 / test 4.  Used by the trained-AP
+    regression (the `voc_root` fixture's boxes have random colors — nothing
+    to learn)."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path_factory.mktemp("voc_learnable"))
+    subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "..", "tools",
+                      "make_synthetic_voc.py"),
+         "--root", root, "--images", "16", "--seed", "0",
+         "--classes", "dog", "cat", "car"],
+        check=True, capture_output=True)
+    return root
+
+
 def make_voc(voc_root, split="test"):
     """pascal_voc instance over the synthetic devkit with redirected cache."""
     import os
