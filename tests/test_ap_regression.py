@@ -23,7 +23,7 @@ import pytest
 
 from frcnn_tpu.config import default_config
 
-pytestmark = pytest.mark.slow
+pytestmark = [pytest.mark.slow, pytest.mark.nightly]
 
 ITERS = 450
 FLOOR = 0.5  # overfit mean-present-class AP; measured values in the commit
@@ -34,6 +34,11 @@ def _cfg(root):
     return dataclasses.replace(
         cfg,
         DATA_DIR=root,
+        # width-0.25 MobileNet (reference MOBILENET.DEPTH_MULTIPLIER knob):
+        # the regression pins PIPELINE quality, not backbone capacity, and
+        # the quarter-width net cuts this test 4x on the 1-core CPU box
+        # (1580 s -> 396 s, both green over the 0.5 floor; 2026-08-19)
+        MOBILENET=dataclasses.replace(cfg.MOBILENET, DEPTH_MULTIPLIER=0.25),
         TRAIN=dataclasses.replace(
             cfg.TRAIN, SCALES=(160,), MAX_SIZE=320, IMS_PER_BATCH=2,
             BATCH_SIZE=32, RPN_BATCHSIZE=64, RPN_PRE_NMS_TOP_N=512,

@@ -82,6 +82,9 @@ def _coco_cfg(root):
     return dataclasses.replace(
         cfg,
         DATA_DIR=root,
+        # quarter-width MobileNet: this pins COCO plumbing (roidb, flip
+        # augmentation, COCOEval), not detection quality
+        MOBILENET=dataclasses.replace(cfg.MOBILENET, DEPTH_MULTIPLIER=0.25),
         TRAIN=dataclasses.replace(
             cfg.TRAIN, SCALES=(160,), MAX_SIZE=320, IMS_PER_BATCH=2,
             BATCH_SIZE=32, RPN_BATCHSIZE=64, RPN_PRE_NMS_TOP_N=512,

@@ -17,6 +17,9 @@ def small_cfg():
     cfg = default_config()
     return dataclasses.replace(
         cfg,
+        # quarter width: these tests assert graph shapes/finiteness, which
+        # depend on num_classes and the proposal caps, not channel widths
+        MOBILENET=dataclasses.replace(cfg.MOBILENET, DEPTH_MULTIPLIER=0.25),
         TEST=dataclasses.replace(cfg.TEST, RPN_PRE_NMS_TOP_N=256,
                                  RPN_POST_NMS_TOP_N=32, MAX_PER_IMAGE=10),
         TRAIN=dataclasses.replace(cfg.TRAIN, RPN_PRE_NMS_TOP_N=256,

@@ -17,6 +17,9 @@ def small_cfg():
     cfg = default_config()
     return dataclasses.replace(
         cfg,
+        # quarter-width MobileNet: every assertion here is about sharding
+        # semantics (replication, psum, batch splits), not capacity
+        MOBILENET=dataclasses.replace(cfg.MOBILENET, DEPTH_MULTIPLIER=0.25),
         TEST=dataclasses.replace(cfg.TEST, RPN_PRE_NMS_TOP_N=128,
                                  RPN_POST_NMS_TOP_N=16, MAX_PER_IMAGE=5,
                                  SCORE_THRESH=0.01),
@@ -156,6 +159,7 @@ def test_serving_detector(mesh8):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_fullscale_res50_detect_over_mesh(mesh8):
     """Full-scale mesh coverage (VERDICT r2 Weak #3): res50 C4 detect at
     512x640 — a production-class shape, not the 128px MobileNet shapes every
@@ -215,6 +219,7 @@ def test_fullscale_res50_detect_over_mesh(mesh8):
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_serving_batch64_over_mesh(mesh8):
     """BASELINE config 5 shape: batch 64 = 8 images/device over the
     8-device mesh, through the fused detect pipeline (scaled-down images).

@@ -21,6 +21,10 @@ def _cfg(root, snapshot_iters):
     return dataclasses.replace(
         cfg,
         DATA_DIR=root,
+        # quarter-width MobileNet: resume bit-exactness and mesh/meshless
+        # parity are capacity-independent, and the narrow net cuts these
+        # 1-core CPU trainings ~3x
+        MOBILENET=dataclasses.replace(cfg.MOBILENET, DEPTH_MULTIPLIER=0.25),
         TRAIN=dataclasses.replace(
             cfg.TRAIN, SCALES=(160,), MAX_SIZE=320, IMS_PER_BATCH=2,
             BATCH_SIZE=32, RPN_BATCHSIZE=64, RPN_PRE_NMS_TOP_N=256,
@@ -65,6 +69,7 @@ def test_interrupted_training_is_bit_exact(voc_root, tmp_path):
         np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
 
 
+@pytest.mark.nightly
 def test_mesh_driver_resume_and_parity(voc_root, tmp_path):
     """The --data-parallel seam end-to-end (VERDICT r2 Missing #2): train_net
     with an 8-device mesh THROUGH SolverWrapper — snapshot-under-sharding →
