@@ -96,22 +96,41 @@ def main():
     # suspect and the img/s headline inherits the doubt — which is why it is
     # recorded next to it (VERDICT r2 Weak #6).
     k = 8192 if on_tpu else 512
+    chain = 4  # matmuls per loop iteration: one 8192^3 matmul is only
+    # ~6.4 ms on chip, so an 8-iteration slope spans ~51 ms — inside the
+    # tunnel's ~25 ms RPC jitter (a single-slope version once printed a
+    # NEGATIVE anchor).  4 chained matmuls x a 16-iteration span ~= 400 ms
+    # of differential device time, and we keep the best of 3 positive slopes
+    # (same outlier defense as the headline metric above).
 
     @jax.jit
     def mm_loop(a, n):
         def body(i, x):
-            return jnp.tanh(x @ x) * 0.5
-        return jax.lax.fori_loop(0, n, body, a)
+            for _ in range(chain):
+                x = jnp.tanh(x @ x) * 0.5
+            return x
+        # return a SCALAR: np.asarray on the full (k, k) output drags 128 MB
+        # through the ~75 MB/s tunnel per timing call, and that transfer's
+        # jitter (hundreds of ms) swamps the ~400 ms slope signal — observed
+        # as a -4.3 TFLOP/s anchor in one run and an impossible 394 in
+        # another.  The detect loop above reads back out[1], also a scalar.
+        out = jax.lax.fori_loop(0, n, body, a)
+        return jnp.float32(out[0, 0])
 
     a = jnp.asarray(rng.uniform(-0.1, 0.1, (k, k)), jnp.bfloat16)
-    _ = np.asarray(mm_loop(a, 2))[0, 0]
-    mm_times = {}
-    for n in (n_lo, n_hi):
-        t0 = time.perf_counter()
-        _ = np.asarray(mm_loop(a, n))[0, 0]
-        mm_times[n] = time.perf_counter() - t0
-    mm_dt = (mm_times[n_hi] - mm_times[n_lo]) / (n_hi - n_lo)
-    tflops = 2 * k**3 / mm_dt / 1e12
+    _ = float(mm_loop(a, 2))
+    mm_lo, mm_hi = (8, 24) if on_tpu else (1, 2)
+    mm_slopes = []
+    for _ in range(3 if on_tpu else 1):
+        mm_times = {}
+        for n in (mm_lo, mm_hi):
+            t0 = time.perf_counter()
+            _ = float(mm_loop(a, n))
+            mm_times[n] = time.perf_counter() - t0
+        mm_slopes.append((mm_times[mm_hi] - mm_times[mm_lo]) / (mm_hi - mm_lo))
+    good = [s for s in mm_slopes if s > 0]
+    mm_dt = min(good) if good else float("nan")
+    tflops = chain * 2 * k**3 / mm_dt / 1e12
 
     print(json.dumps({
         "metric": "images_per_sec_per_chip (ResNet-50 C4, 800x1216, batch "
