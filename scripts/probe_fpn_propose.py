@@ -41,8 +41,15 @@ def main():
     thresh = cfg.TRAIN.RPN_NMS_THRESH if train else cfg.TEST.RPN_NMS_THRESH
 
     levels = list(range(cfg.FPN.MIN_LEVEL, cfg.FPN.MAX_LEVEL + 2))  # P2..P6
-    shapes = [( (h + 2 ** l - 1) // 2 ** l, (w + 2 ** l - 1) // 2 ** l)
-              for l in levels]
+
+    def pyramid_shape(dim, level):
+        # iterated stride-2 ceil halving, matching the SAME-padded conv
+        # pyramid (a one-shot ceil(dim/2^l) diverges at non-divisible dims)
+        for _ in range(level):
+            dim = (dim + 1) // 2
+        return dim
+
+    shapes = [(pyramid_shape(h, l), pyramid_shape(w, l)) for l in levels]
     sizes = [hh * ww * a_n for hh, ww in shapes]
     anchors = jnp.concatenate([
         generate_anchors_pre(hh, ww, 2 ** l, ratios=cfg.ANCHOR_RATIOS,

@@ -26,6 +26,26 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Default tier = everything except `nightly` (tests/README.md).
+
+    Implemented as a hook rather than `addopts = "-m 'not nightly'"` so that
+    selecting a test by explicit node id always runs it — the addopts form
+    silently collected 0 tests for e.g.
+    `pytest tests/test_ap_regression.py::test_trained_ap_floor` (ADVICE r3).
+    Any explicit -m (including `-m ""` = run everything) overrides this.
+    """
+    inv = config.invocation_params.args
+    if any(a == "-m" or a.startswith(("-m=", "--markexpr")) for a in inv):
+        return
+    if any("::" in a for a in config.args):
+        return
+    deselect = [it for it in items if it.get_closest_marker("nightly")]
+    if deselect:
+        items[:] = [it for it in items if not it.get_closest_marker("nightly")]
+        config.hook.pytest_deselected(items=deselect)
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(3)  # cfg.RNG_SEED

@@ -121,7 +121,8 @@ def test_fpn_prob_amajor_matches_cls_rows(fpn_model):
         hw = s // a_n
         p_lvl = prob[:, off:off + s].reshape(-1, a_n, hw)        # [a, cell]
         c_lvl = cls[:, off:off + s].reshape(-1, hw, a_n, 2)      # [cell, a]
-        want = 1.0 / (1.0 + np.exp(-(c_lvl[..., 1] - c_lvl[..., 0])))
+        with np.errstate(over="ignore"):  # exp overflow → sigmoid saturates
+            want = 1.0 / (1.0 + np.exp(-(c_lvl[..., 1] - c_lvl[..., 0])))
         np.testing.assert_allclose(p_lvl.transpose(0, 2, 1), want,
                                    rtol=1e-4, atol=1e-5)
         off += s
