@@ -172,6 +172,67 @@ def ref_anchor_targets_full(anchors, gt, im_hw, cfg):
             unmap(out_w, 0.0))
 
 
+def ref_rpn_losses(rpn_logits, rpn_deltas, anchors, gt, im_hw, cfg):
+    """RPN CE + smooth-L1(σ=3) from dense per-anchor rows (K, 2)/(K, 4)
+    aligned with `anchors` (K, 4), via the deterministic anchor-target
+    oracle (quotas must cover every label — see ref_anchor_targets_full).
+    Backbone-independent: the same composition protects the C4 stack
+    (test_train_parity) and the FPN per-level concat
+    (test_fpn_train_parity)."""
+    labels, tgt, in_w, out_w = ref_anchor_targets_full(
+        anchors, gt, im_hw, cfg)
+    sel = labels >= 0
+    z = rpn_logits[sel] - rpn_logits[sel].max(axis=1, keepdims=True)
+    logp = z - np.log(np.exp(z).sum(axis=1, keepdims=True))
+    rpn_ce = -logp[np.arange(sel.sum()), labels[sel]].mean()
+    rpn_box = (out_w * _huber(in_w * (rpn_deltas - tgt), 3.0)).sum()
+    return float(rpn_ce), float(rpn_box)
+
+
+def ref_roi_targets(sampled_rois, gt, gt_labels, cfg, num_classes):
+    """proposal_target_layer math per sampled roi (proposal_target_layer.py:
+    ~L100-L180 minus the sampling): label from max-IoU gt, normalized
+    class-expanded regression targets + inside/outside weights."""
+    t = cfg.TRAIN
+    ov = bbox_overlaps_np(sampled_rois.astype(np.float32),
+                          gt.astype(np.float32))
+    argmax = ov.argmax(axis=1)
+    max_ov = ov[np.arange(len(sampled_rois)), argmax]
+    is_fg = max_ov >= t.FG_THRESH
+    roi_labels = np.where(is_fg, gt_labels[argmax], 0).astype(np.int64)
+    rt = bbox_transform_np(sampled_rois.astype(np.float32),
+                           gt[argmax].astype(np.float32))
+    if t.BBOX_NORMALIZE_TARGETS_PRECOMPUTED:
+        rt = (rt - np.asarray(t.BBOX_NORMALIZE_MEANS, np.float32)) / np.asarray(
+            t.BBOX_NORMALIZE_STDS, np.float32)
+    n = len(sampled_rois)
+    tgt_c = np.zeros((n, 4 * num_classes), np.float32)
+    in_c = np.zeros((n, 4 * num_classes), np.float32)
+    for i in np.where(is_fg)[0]:
+        s = 4 * roi_labels[i]
+        tgt_c[i, s:s + 4] = rt[i]
+        in_c[i, s:s + 4] = np.asarray(t.BBOX_INSIDE_WEIGHTS, np.float32)
+    out_c = (in_c > 0).astype(np.float32)
+    return roi_labels, tgt_c, in_c, out_c
+
+
+def ref_roi_losses(sampled_rois, gt, gt_labels, cls_logits, bbox_pred, cfg,
+                   num_classes):
+    """RoI CE + smooth-L1(σ=1) for head outputs (n, C)/(n, 4C) computed at
+    the SAME sampled rois, with independently recomputed per-roi
+    labels/targets.  Returns (ce, box_loss, roi_labels)."""
+    roi_labels, tgt_c, in_c, out_c = ref_roi_targets(
+        sampled_rois, gt, gt_labels, cfg, num_classes)
+    n = len(sampled_rois)
+    z = cls_logits - cls_logits.max(axis=1, keepdims=True)
+    logp = z - np.log(np.exp(z).sum(axis=1, keepdims=True))
+    ce = -logp[np.arange(n), roi_labels].mean()
+    # reference dim=[1]: sum over the 4C columns, mean over rois
+    box_loss = (out_c * _huber(in_c * (bbox_pred - tgt_c), 1.0)
+                ).sum(axis=1).mean()
+    return float(ce), float(box_loss), roi_labels
+
+
 def ref_train_losses(sd, trunk_fn, tail_fn, im_bgr, gt, gt_labels, cfg,
                      num_classes, sampled_rois, num_anchors=9):
     """Reference-semantics TRAIN composition → the 4 loss values.
@@ -223,37 +284,8 @@ def ref_train_losses(sd, trunk_fn, tail_fn, im_bgr, gt, gt_labels, cfg,
     train_proposals = np.concatenate(
         [props[order][keep], fg[order][keep, None]], axis=1)  # (R, 5) +score
 
-    labels, tgt, in_w, out_w = ref_anchor_targets_full(anchors, gt, (h, w), cfg)
-
-    sel = labels >= 0
-    z = rpn_logits[sel] - rpn_logits[sel].max(axis=1, keepdims=True)
-    logp = z - np.log(np.exp(z).sum(axis=1, keepdims=True))
-    rpn_ce = -logp[np.arange(sel.sum()), labels[sel]].mean()
-    rpn_box = (out_w * _huber(in_w * (rpn_deltas - tgt), 3.0)).sum()
-
-    # proposal-target math per sampled roi (proposal_target_layer.py:
-    # ~L100-L180 minus the sampling): label from max-IoU gt, normalized
-    # class-expanded regression targets
-    t = cfg.TRAIN
-    ov = bbox_overlaps_np(sampled_rois.astype(np.float32),
-                          gt.astype(np.float32))
-    argmax = ov.argmax(axis=1)
-    max_ov = ov[np.arange(len(sampled_rois)), argmax]
-    is_fg = max_ov >= t.FG_THRESH
-    roi_labels = np.where(is_fg, gt_labels[argmax], 0).astype(np.int64)
-    rt = bbox_transform_np(sampled_rois.astype(np.float32),
-                           gt[argmax].astype(np.float32))
-    if t.BBOX_NORMALIZE_TARGETS_PRECOMPUTED:
-        rt = (rt - np.asarray(t.BBOX_NORMALIZE_MEANS, np.float32)) / np.asarray(
-            t.BBOX_NORMALIZE_STDS, np.float32)
-    n = len(sampled_rois)
-    tgt_c = np.zeros((n, 4 * num_classes), np.float32)
-    in_c = np.zeros((n, 4 * num_classes), np.float32)
-    for i in np.where(is_fg)[0]:
-        s = 4 * roi_labels[i]
-        tgt_c[i, s:s + 4] = rt[i]
-        in_c[i, s:s + 4] = np.asarray(t.BBOX_INSIDE_WEIGHTS, np.float32)
-    out_c = (in_c > 0).astype(np.float32)
+    rpn_ce, rpn_box = ref_rpn_losses(rpn_logits, rpn_deltas, anchors,
+                                     gt, (h, w), cfg)
 
     feat_hwc = feat[0].permute(1, 2, 0).numpy()
     pooled = roi_align_np(feat_hwc, sampled_rois,
@@ -268,11 +300,8 @@ def ref_train_losses(sd, trunk_fn, tail_fn, im_bgr, gt, gt_labels, cfg,
         bbox_pred = F.linear(fc, sd["bbox_pred.weight"],
                              sd["bbox_pred.bias"]).numpy()
 
-    z = cls_logits - cls_logits.max(axis=1, keepdims=True)
-    logp = z - np.log(np.exp(z).sum(axis=1, keepdims=True))
-    ce = -logp[np.arange(n), roi_labels].mean()
-    # reference dim=[1]: sum over the 4C columns, mean over rois
-    box_loss = (out_c * _huber(in_c * (bbox_pred - tgt_c), 1.0)).sum(axis=1).mean()
+    ce, box_loss, _ = ref_roi_losses(sampled_rois, gt, gt_labels,
+                                     cls_logits, bbox_pred, cfg, num_classes)
 
     losses = {"rpn_cross_entropy": float(rpn_ce),
               "rpn_loss_box": float(rpn_box),
