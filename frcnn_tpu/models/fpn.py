@@ -53,13 +53,25 @@ def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int):
     (B, K, 4) per-anchor delta rows never materialize on the detect path
     (~2 ms of Mosaic relayout at 800×1216 B8 — scripts/probe_fpn_rpn.py).
     Oracle-tested against take_along_axis-on-rows in tests/test_fpn.py."""
+    from frcnn_tpu.ops.select import topk_strided
+
     sel, sel_cell, sel_a, sel_sc = [], [], [], []
     off = cell_off = 0
     for s in sizes:
         k = min(per, s)
         hw = s // a_n
-        sc, idx = jax.lax.top_k(
-            jax.lax.dynamic_slice_in_dim(fg_prob, off, s, axis=1), k)
+        lvl = jax.lax.dynamic_slice_in_dim(fg_prob, off, s, axis=1)
+        if k >= s:
+            # whole level selected — the identity set, no sort needed
+            # (downstream re-ranks the cross-level concat anyway)
+            sc = lvl
+            idx = jnp.broadcast_to(
+                jnp.arange(s, dtype=jnp.int32), lvl.shape)
+        else:
+            # exact two-stage strided-block top-k (ops/select.py): ~2 ms of
+            # XLA TopK over the big levels at the train shape becomes a
+            # small per-block top-m + a union re-rank
+            sc, idx = topk_strided(lvl, k)
         a = idx // hw
         cell = idx % hw
         sel.append(cell * a_n + a + off)

@@ -102,7 +102,9 @@ def test_fpn_select_pre_nms_matches_rows_oracle(rng):
     from frcnn_tpu.models.fpn import select_pre_nms
 
     a_n, b = 3, 2
-    hws = [(8, 12), (4, 6), (2, 3)]
+    # first level is big enough (4608 > 128 blocks * m) to exercise
+    # topk_strided's two-stage path; the last (18 < per) the identity path
+    hws = [(32, 48), (8, 12), (4, 6), (2, 3)]
     per = 20
     sizes = [h * w * a_n for h, w in hws]
     k_tot = sum(sizes)
@@ -139,7 +141,29 @@ def test_fpn_select_pre_nms_matches_rows_oracle(rng):
     want_sel = np.concatenate(want_sel, axis=1)
     want_sc = np.concatenate(want_sc, axis=1)
 
-    np.testing.assert_array_equal(sel, want_sel)
-    np.testing.assert_allclose(np.asarray(scores), want_sc, rtol=1e-6)
+    # select_pre_nms may emit each level's winners in any ORDER (identity
+    # fast path when k == s; strided-block order in ops/select.py) — the
+    # downstream _propose re-ranks the concat, so the contract is the
+    # per-level (id, score, delta) SET.  Compare id-sorted per level.
+    scores = np.asarray(scores)
+    deltas = np.asarray(deltas)
     want_deltas = np.take_along_axis(rows_minor, want_sel[..., None], axis=1)
-    np.testing.assert_allclose(np.asarray(deltas), want_deltas, rtol=1e-6)
+    off_k = 0
+    for s in sizes:
+        k = min(per, s)
+        sl = slice(off_k, off_k + k)
+        ours_ord = np.argsort(sel[:, sl], axis=1)
+        want_ord = np.argsort(want_sel[:, sl], axis=1)
+
+        def take(a, o):
+            return np.take_along_axis(a, o.reshape(o.shape + (1,) * (a.ndim - 2)), axis=1)
+
+        np.testing.assert_array_equal(take(sel[:, sl], ours_ord).squeeze(),
+                                      take(want_sel[:, sl], want_ord).squeeze())
+        np.testing.assert_allclose(take(scores[:, sl], ours_ord).squeeze(),
+                                   take(want_sc[:, sl], want_ord).squeeze(),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(take(deltas[:, sl], ours_ord),
+                                   take(want_deltas[:, sl], want_ord),
+                                   rtol=1e-6)
+        off_k += k
