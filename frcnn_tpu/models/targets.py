@@ -47,10 +47,24 @@ def _subsample_idx(mask, max_quota: int, quota, key):
     uniformly without replacement: ``idx (max_quota,)`` anchor ids and
     ``take (max_quota,)`` marking the live slots (the rest are top_k filler
     whose consumers must weight them 0).  ``max_quota`` must be a static
-    upper bound for the (possibly traced) ``quota``."""
+    upper bound for the (possibly traced) ``quota``.
+
+    The top-k runs as ops.select.topk_strided without the saturation
+    fallback (this sits under vmap, where lax.cond would run both
+    branches): priorities are iid uniform and the False fillers form a
+    strictly DECREASING index ramp — both spread evenly over the strided
+    blocks, so expected winners/block ≈ max_quota/128 and a block reaching
+    m ≈ 2·that+16 has astronomically small probability.  The ramp keeps
+    lax.top_k's old filler order (lowest index first) bit-for-bit.  At the
+    FPN train scale (K ≈ 155k) this cuts each sampling top_k ~3x
+    (scripts/probe_topk.py: XLA TopK cost is ~k-independent in n)."""
+    from frcnn_tpu.ops.select import topk_strided
+
     n = mask.shape[0]
-    pri = jnp.where(mask, 1.0 + jax.random.uniform(key, (n,)), -1.0)
-    vals, idx = jax.lax.top_k(pri, max_quota)
+    ramp = jnp.arange(n, dtype=jnp.float32) * jnp.float32(2.0 ** -17)
+    pri = jnp.where(mask, 1.0 + jax.random.uniform(key, (n,)), -1.0 - ramp)
+    vals, idx = topk_strided(pri[None], max_quota, fallback=False)
+    vals, idx = vals[0], idx[0]
     take = (jnp.arange(max_quota) < quota) & (vals > 0.0)
     return idx, take
 

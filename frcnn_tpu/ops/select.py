@@ -35,8 +35,9 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-1e30)
 
 
-@partial(jax.jit, static_argnames=("k", "num_blocks", "m"))
-def topk_strided(x, k: int, num_blocks: int = 128, m: int | None = None):
+@partial(jax.jit, static_argnames=("k", "num_blocks", "m", "fallback"))
+def topk_strided(x, k: int, num_blocks: int = 128, m: int | None = None,
+                 fallback: bool = True):
     """Exact top-k over the last axis of ``x`` (B, K) → (values, indices)
     each (B, k), values descending.  See module docstring for the tie-order
     caveat and the saturation fallback.
@@ -44,15 +45,24 @@ def topk_strided(x, k: int, num_blocks: int = 128, m: int | None = None):
     m: per-block take (default: smallest multiple of 8 ≥ 2·k/num_blocks+16,
     clipped to the block length) — the fallback fires only when some block
     holds ≥ m of the global top-k, so m trades stage-1 work against
-    fallback probability."""
+    fallback probability.
+
+    fallback=False skips the saturation repair — for callers under vmap
+    (where lax.cond degrades to running BOTH branches) whose inputs make
+    saturation statistically impossible, e.g. iid random sampling
+    priorities with tie-free fillers (mean winners/block = k/num_blocks,
+    so P(some block ≥ m) is astronomically small for m ≫ k/num_blocks).
+    The result is then top-k conditional on no block saturating."""
     b, kk = x.shape
     g = num_blocks
     s = -(-kk // g)                      # block length (ceil)
     if m is None:
         m = min(s, -(-(2 * k // g + 16) // 8) * 8)
     m = min(max(m, 1), s)
-    if g * m < k or kk <= g * m:
-        # decomposition cannot cover k (or saves nothing) — direct
+    if g * m < k or kk <= 2 * g * m:
+        # decomposition cannot cover k, or the union wouldn't shrink the
+        # problem at least 2x (measured: XLA TopK cost is ~k-independent,
+        # so a marginal shrink loses to the two-stage overhead) — direct
         return jax.lax.top_k(x, k)
 
     pad = g * s - kk
@@ -66,6 +76,8 @@ def topk_strided(x, k: int, num_blocks: int = 128, m: int | None = None):
     ui = gidx.reshape(b, g * m)
     fv, fp = jax.lax.top_k(uv, k)                        # fp: union positions
     fi = jnp.take_along_axis(ui, fp, axis=1)
+    if not fallback:
+        return fv, fi
 
     # exactness check: a block with all m winners selected may have held
     # more of the true top-k than stage 1 kept
