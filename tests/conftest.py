@@ -21,6 +21,16 @@ import jax  # noqa: E402
 #   FRCNN_TPU_TEST_TPU=1 pytest tests/test_pallas_kernels.py -k roi_align_pallas_matches
 if not os.environ.get("FRCNN_TPU_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
+    # Persistent XLA compile cache for the CPU suite: the tier's cost is
+    # compile-dominated (the two train-parity graphs alone are ~45 s each
+    # on this 1-core box), and the cache is keyed by HLO hash, so any
+    # source change that alters a graph recompiles exactly that graph.
+    # Cold run ≈ warm run + ~4-5 min of compiles; tests/README.md records
+    # both.  Kept separate from the TPU cache (~/.cache/frcnn_tpu_xla).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/frcnn_tpu_xla_cpu_tests"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

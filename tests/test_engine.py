@@ -171,7 +171,7 @@ def test_optimizer_masks():
     model = build_model("mobile", 3, cfg)
     images = jnp.zeros((1, 64, 64, 3))
     im_info = jnp.asarray([[64.0, 64.0, 1.0]])
-    variables = model.init(jax.random.PRNGKey(0), images, im_info)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, im_info)
     params = variables["params"]
     tx, _ = make_optimizer(model, params, cfg)
     opt_state = tx.init(params)

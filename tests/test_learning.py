@@ -27,8 +27,10 @@ def test_trunk_alive_at_init(net):
     x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 64, 3)
                     .astype(np.float32))
     variables = jax.eval_shape  # silence lint
-    params = backbone.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
-    feat = backbone.apply(params, x, method="extract_features")
+    params = jax.jit(backbone.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 128, 128, 3)))
+    feat = jax.jit(lambda p, xx: backbone.apply(
+        p, xx, method="extract_features"))(params, x)
     std = float(jnp.std(feat))
     assert std > 1e-4, f"{net} trunk is dead at init (std={std})"
     assert std < 1e4, f"{net} trunk explodes at init (std={std})"
@@ -68,7 +70,7 @@ def test_rpn_learns_fg_anchor():
     gt = jnp.array([[[20.0, 16.0, 69.0, 55.0], [0, 0, 0, 0]]], jnp.float32)
     gl = jnp.array([[2, 0]])
     gv = jnp.array([[True, False]])
-    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(im), ii)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(im), ii)
     params = variables["params"]
     tx, _ = make_optimizer(model, params, cfg)
     state = {"p": params, "o": tx.init(params)}

@@ -34,7 +34,7 @@ def mobile_model():
     model = build_model("mobile", 21, cfg)
     images = jnp.zeros((1, 320, 320, 3), jnp.float32)
     im_info = jnp.array([[320.0, 320.0, 1.0]])
-    variables = model.init(jax.random.PRNGKey(0), images, im_info)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, im_info)
     return model, variables
 
 

@@ -51,7 +51,7 @@ def test_data_parallel_detect_matches_single(mesh8):
     b = 8
     images = jax.random.uniform(jax.random.PRNGKey(0), (b, 128, 128, 3)) * 255
     im_info = jnp.tile(jnp.asarray([[128.0, 128.0, 1.0]]), (b, 1))
-    variables = model.init(jax.random.PRNGKey(1), images[:1], im_info[:1])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), images[:1], im_info[:1])
 
     det_fn = jax.jit(lambda v, im, ii: model.apply(v, im, ii, method="detect"))
     d_single, v_single = det_fn(variables, images, im_info)
@@ -83,7 +83,7 @@ def test_data_parallel_train_step_grad_allreduce(mesh8):
     gl = jnp.tile(jnp.asarray([[3, 0, 0, 0]], jnp.int32), (b, 1))
     gv = jnp.tile(jnp.asarray([[True, False, False, False]]), (b, 1))
 
-    variables = model.init(jax.random.PRNGKey(3), images[:1], im_info[:1])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(3), images[:1], im_info[:1])
     params = variables["params"]
     tx, _ = make_optimizer(model, params, cfg)
 
@@ -125,7 +125,7 @@ def test_serving_detector(mesh8):
     model = build_model("mobile", 21, cfg)
     images = jnp.zeros((1, 128, 128, 3))
     im_info = jnp.asarray([[128.0, 128.0, 1.0]])
-    variables = model.init(jax.random.PRNGKey(0), images, im_info)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, im_info)
     det = Detector(model, variables, cfg, mesh=mesh8)
     rng = np.random.RandomState(0)
     ims = [rng.randint(0, 255, (100 + 10 * i, 120, 3), np.uint8)
@@ -179,7 +179,7 @@ def test_fullscale_res50_detect_over_mesh(mesh8):
     images = jnp.asarray(rng.uniform(0, 255, (b, 512, 640, 3))
                          .astype(np.float32))
     im_info = jnp.tile(jnp.asarray([[512.0, 640.0, 1.0]]), (b, 1))
-    variables = model.init(jax.random.PRNGKey(1), images[:1], im_info[:1])
+    variables = jax.jit(model.init)(jax.random.PRNGKey(1), images[:1], im_info[:1])
 
     vars_r = replicate(variables, mesh8)
     im_s, ii_s = shard_batch((images, im_info), mesh8)
@@ -231,7 +231,7 @@ def test_serving_batch64_over_mesh(mesh8):
     model = build_model("mobile", 21, cfg)
     images = jnp.zeros((1, 128, 128, 3))
     im_info = jnp.asarray([[128.0, 128.0, 1.0]])
-    variables = model.init(jax.random.PRNGKey(0), images, im_info)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), images, im_info)
 
     rng = np.random.RandomState(1)
     data = rng.uniform(0, 255, (64, 128, 128, 3)).astype(np.float32)

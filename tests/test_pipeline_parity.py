@@ -93,8 +93,10 @@ def _ours_per_class(model, variables, im, cfg, max_per_image):
     from frcnn_tpu.engine.test import _prep
 
     blob, info = _prep(im, cfg)
-    dets, valid = model.apply(variables, blob[None], info[None],
-                              method="detect", max_per_image=max_per_image)
+    dets, valid = jax.jit(
+        lambda v, b, i: model.apply(v, b, i, method="detect",
+                                    max_per_image=max_per_image))(
+        variables, blob[None], info[None])
     d = np.asarray(dets[0])[np.asarray(valid[0])]
     return [d[d[:, 5] == j][:, :5] for j in range(NUM_CLASSES)]
 
@@ -105,9 +107,9 @@ def parity_setup(rng_module=None):
     sd = _detector_state_dict(rng)
     cfg = _parity_cfg()
     model = build_model("res50", NUM_CLASSES, cfg)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 224, 304, 3)),
-                           jnp.array([[224.0, 304.0, 1.0]]))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 224, 304, 3)),
+                                    jnp.array([[224.0, 304.0, 1.0]]))
     converted = convert_detector({k: v.numpy() for k, v in sd.items()},
                                  "res50", num_anchors=A)
     init_params = dict(variables["params"])

@@ -83,22 +83,26 @@ def test_train_loss_parity():
     im, gt, gt_labels = _scene()
 
     model = build_model("res50", NUM_CLASSES, cfg)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, H, W, 3)),
-                           jnp.array([[float(H), float(W), 1.0]]))
+    # jit both graphs: eager op-by-op dispatch costs ~25 s (init) + ~15 s
+    # (train_forward) on this 1-core box; jitted + the conftest persistent
+    # compile cache they run in seconds
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, H, W, 3)),
+                                    jnp.array([[float(H), float(W), 1.0]]))
     converted = convert_detector({k: v.numpy() for k, v in sd.items()},
                                  "res50", num_anchors=A)
     variables = {"params": converted}
 
-    losses, aux = model.apply(
+    losses, aux = jax.jit(
+        lambda v, b, ii, g, gl, gv, k: model.apply(
+            v, b, ii, g, gl, gv, k, method="train_forward"))(
         variables,
         jnp.asarray(im, jnp.float32)[None],
         jnp.array([[float(H), float(W), 1.0]]),
         jnp.asarray(gt)[None],
         jnp.asarray(gt_labels)[None],
         jnp.ones((1, len(gt)), bool),
-        jax.random.PRNGKey(3),
-        method="train_forward")
+        jax.random.PRNGKey(3))
 
     sampled_rois = np.asarray(aux["rois"][0], np.float32)
     want, ref_props = ref_train_losses(

@@ -90,7 +90,7 @@ def test_resnet50_conversion_parity(rng):
     model = ResNetV1(depth=50)
     x = rng.randn(1, 64, 64, 3).astype(np.float32)
     # init with a >=112px image (the __call__ init path crops a 7x7 cell)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
     # graft converted trunk/tail
     params = dict(variables["params"])
     assert set(converted["trunk"].keys()) == set(params["trunk"].keys())
@@ -98,8 +98,9 @@ def test_resnet50_conversion_parity(rng):
     params["trunk"] = converted["trunk"]
     params["tail"] = converted["tail"]
 
-    got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
-                                 method="extract_features"))
+    got = np.asarray(jax.jit(lambda pp, xx: model.apply(
+        pp, xx, method="extract_features"))({"params": params},
+                                            jnp.asarray(x)))
     want = _resnet50_trunk_t(torch.from_numpy(x).permute(0, 3, 1, 2), sd)
     want = want.permute(0, 2, 3, 1).numpy()
     assert got.shape == want.shape  # (1, 4, 4, 1024)
@@ -150,14 +151,15 @@ def test_vgg16_conversion_parity(rng):
 
     model = VGG16()
     x = rng.randn(1, 64, 64, 3).astype(np.float32)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
     params = dict(variables["params"])
     assert set(converted["trunk"].keys()) == set(params["trunk"].keys())
     params["trunk"] = converted["trunk"]
     params["tail"] = converted["tail"]
 
-    got = np.asarray(model.apply({"params": params}, jnp.asarray(x),
-                                 method="extract_features"))
+    got = np.asarray(jax.jit(lambda pp, xx: model.apply(
+        pp, xx, method="extract_features"))({"params": params},
+                                            jnp.asarray(x)))
     want = _vgg16_trunk_t(torch.from_numpy(x).permute(0, 3, 1, 2), sd)
     want = want.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
@@ -165,8 +167,9 @@ def test_vgg16_conversion_parity(rng):
     # fc6/fc7 on a pooled 7x7x512 crop: torch flattens CHW, we flatten HWC —
     # the converter's column permutation must reconcile them exactly
     pooled = rng.randn(2, 7, 7, 512).astype(np.float32)
-    got_fc = np.asarray(model.apply({"params": params}, jnp.asarray(pooled),
-                                    method="head_to_tail"))
+    got_fc = np.asarray(jax.jit(lambda pp, xx: model.apply(
+        pp, xx, method="head_to_tail"))({"params": params},
+                                        jnp.asarray(pooled)))
     t = torch.from_numpy(pooled).permute(0, 3, 1, 2).reshape(2, -1)
     t = F.relu(F.linear(t, sd["classifier.0.weight"], sd["classifier.0.bias"]))
     t = F.relu(F.linear(t, sd["classifier.3.weight"], sd["classifier.3.bias"]))
