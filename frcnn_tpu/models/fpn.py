@@ -68,10 +68,18 @@ def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int):
             idx = jnp.broadcast_to(
                 jnp.arange(s, dtype=jnp.int32), lvl.shape)
         else:
-            # exact two-stage strided-block top-k (ops/select.py): ~2 ms of
-            # XLA TopK over the big levels at the train shape becomes a
-            # small per-block top-m + a union re-rank
-            sc, idx = topk_strided(lvl, k)
+            # two-stage strided-block top-k (ops/select.py): ~2 ms of XLA
+            # TopK over the big levels at the train shape becomes a small
+            # per-block top-m + a union re-rank.  fallback=False: the
+            # lax.cond repair branch (a duplicated full-row sort) made the
+            # backend compile for 30+ min and intermittently fail at run
+            # time (PROFILE_r04 §2); without it the result is exact unless
+            # ≥ m of the level's top-k sit on ONE stride-128 residue class
+            # of the anchor index — contiguous objectness clusters spread
+            # round-robin across all classes, and at fully-degenerate
+            # all-equal scores any k-subset is a valid top-k, so no real
+            # score map violates this
+            sc, idx = topk_strided(lvl, k, fallback=False)
         a = idx // hw
         cell = idx % hw
         sel.append(cell * a_n + a + off)
