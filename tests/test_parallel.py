@@ -179,7 +179,12 @@ def test_fullscale_res50_detect_over_mesh(mesh8):
     images = jnp.asarray(rng.uniform(0, 255, (b, 512, 640, 3))
                          .astype(np.float32))
     im_info = jnp.tile(jnp.asarray([[512.0, 640.0, 1.0]]), (b, 1))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(1), images[:1], im_info[:1])
+    # NOT jitted: jit(init) shifts the init values by low-order bits, and
+    # with THIS seed that lands one detection on a knife-edge NMS tie where
+    # sharded/unsharded reduction order picks different boxes (score delta
+    # 0.018 > the 5e-3 guard).  Eager init keeps the historically validated
+    # weights; the ~30 s is acceptable at nightly tier.
+    variables = model.init(jax.random.PRNGKey(1), images[:1], im_info[:1])
 
     vars_r = replicate(variables, mesh8)
     im_s, ii_s = shard_batch((images, im_info), mesh8)
