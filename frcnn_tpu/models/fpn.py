@@ -53,8 +53,6 @@ def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int):
     (B, K, 4) per-anchor delta rows never materialize on the detect path
     (~2 ms of Mosaic relayout at 800×1216 B8 — scripts/probe_fpn_rpn.py).
     Oracle-tested against take_along_axis-on-rows in tests/test_fpn.py."""
-    from frcnn_tpu.ops.select import topk_strided
-
     sel, sel_cell, sel_a, sel_sc = [], [], [], []
     off = cell_off = 0
     for s in sizes:
@@ -68,18 +66,14 @@ def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int):
             idx = jnp.broadcast_to(
                 jnp.arange(s, dtype=jnp.int32), lvl.shape)
         else:
-            # two-stage strided-block top-k (ops/select.py): ~2 ms of XLA
-            # TopK over the big levels at the train shape becomes a small
-            # per-block top-m + a union re-rank.  fallback=False: the
-            # lax.cond repair branch (a duplicated full-row sort) made the
-            # backend compile for 30+ min and intermittently fail at run
-            # time (PROFILE_r04 §2); without it the result is exact unless
-            # ≥ m of the level's top-k sit on ONE stride-128 residue class
-            # of the anchor index — contiguous objectness clusters spread
-            # round-robin across all classes, and at fully-degenerate
-            # all-equal scores any k-subset is a valid top-k, so no real
-            # score map violates this
-            sc, idx = topk_strided(lvl, k, fallback=False)
+            # plain XLA TopK.  ops/select.topk_strided would cut the big
+            # levels ~2x (measured 0.98 -> 0.55 ms at L2 train shape), but
+            # the axon backend mis-executes programs holding its strided
+            # top-k graphs — repeat/second executions die with
+            # INVALID_ARGUMENT (PROFILE_r04 §2, reproduced 5x incl. the
+            # real 800x1216 detect).  Re-wire via topk_strided(lvl, k,
+            # fallback=False) when the backend is fixed.
+            sc, idx = jax.lax.top_k(lvl, k)
         a = idx // hw
         cell = idx % hw
         sel.append(cell * a_n + a + off)

@@ -49,22 +49,16 @@ def _subsample_idx(mask, max_quota: int, quota, key):
     whose consumers must weight them 0).  ``max_quota`` must be a static
     upper bound for the (possibly traced) ``quota``.
 
-    The top-k runs as ops.select.topk_strided without the saturation
-    fallback (this sits under vmap, where lax.cond would run both
-    branches): priorities are iid uniform and the False fillers form a
-    strictly DECREASING index ramp — both spread evenly over the strided
-    blocks, so expected winners/block ≈ max_quota/128 and a block reaching
-    m ≈ 2·that+16 has astronomically small probability.  The ramp keeps
-    lax.top_k's old filler order (lowest index first) bit-for-bit.  At the
-    FPN train scale (K ≈ 155k) this cuts each sampling top_k ~3x
-    (scripts/probe_topk.py: XLA TopK cost is ~k-independent in n)."""
-    from frcnn_tpu.ops.select import topk_strided
-
+    NOTE: ops.select.topk_strided would cut this top_k ~3x at the FPN
+    155k-anchor scale (scripts/probe_topk.py — XLA TopK cost is
+    ~k-independent in n), and with the tie-free decreasing filler ramp
+    below its selection is identical, but the axon backend currently
+    mis-executes programs holding strided top-k graphs (INVALID_ARGUMENT
+    on repeat executions — PROFILE_r04 §2).  Re-wire when fixed."""
     n = mask.shape[0]
     ramp = jnp.arange(n, dtype=jnp.float32) * jnp.float32(2.0 ** -17)
     pri = jnp.where(mask, 1.0 + jax.random.uniform(key, (n,)), -1.0 - ramp)
-    vals, idx = topk_strided(pri[None], max_quota, fallback=False)
-    vals, idx = vals[0], idx[0]
+    vals, idx = jax.lax.top_k(pri, max_quota)
     take = (jnp.arange(max_quota) < quota) & (vals > 0.0)
     return idx, take
 

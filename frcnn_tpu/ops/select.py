@@ -23,6 +23,15 @@ for equal values in different blocks the lower ``idx % G`` wins, whereas
 ``jax.lax.top_k`` prefers the lower index outright.  Exact value-ties at
 the selection cut are measure-zero for sigmoid scores; callers that need
 lax.top_k's literal tie order must not use this.
+
+STATUS (2026-08-20): measured 0.98 → 0.55 ms at the FPN L2 train shape and
+oracle-exact in every CPU test, but NOT wired into production — the axon
+TPU backend mis-executes programs holding these strided top-k graphs
+(`INVALID_ARGUMENT` on repeat or second-in-process executions, reproduced
+5x including the real 800×1216 FPN detect; the same programs with plain
+``lax.top_k`` run clean — PROFILE_r04 §2).  The intended call sites
+(models/fpn.py::select_pre_nms, models/targets.py::_subsample_idx) carry
+re-wire notes for when the backend is fixed.
 """
 
 from __future__ import annotations
