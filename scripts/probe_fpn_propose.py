@@ -9,6 +9,10 @@ milliseconds live.
 
 Usage: python scripts/probe_fpn_propose.py [--test]  (--test: k=1000/level,
 post=1000 — the detect-path shape)
+
+By default each arm runs in its OWN subprocess: the axon backend can fail
+the second of two similar executables in one process with INVALID_ARGUMENT
+(PROFILE_r04 §2 / NEXT.md #4).  --arm {a,b,c,d} runs a single arm inline.
 """
 
 import os.path as osp
@@ -24,6 +28,21 @@ from scripts.profile_backbone import slope_time
 
 
 def main():
+    import subprocess
+
+    arm = None
+    for i, v in enumerate(sys.argv):
+        if v == "--arm":
+            arm = sys.argv[i + 1]
+    if arm is None:
+        # parent mode: one subprocess per arm (see module docstring)
+        base = [a for a in sys.argv[1:] if a != "--arm"]
+        for a in "abcd":
+            r = subprocess.run([sys.executable, __file__, "--arm", a] + base)
+            if r.returncode:
+                sys.exit(r.returncode)
+        return
+
     from frcnn_tpu.config import default_config
     from frcnn_tpu.models.fpn import select_pre_nms
     from frcnn_tpu.models.proposals import _anchor_validity
@@ -70,10 +89,12 @@ def main():
                    for o in jax.tree.leaves(outs))
 
     # A: per-level top_k + cell-row delta fetch
-    def arm_a(prob):
-        return scalarize(select_pre_nms(prob, cells, sizes, per, a_n))
-    dt = slope_time(arm_a, (prob,))
-    print(f"select_pre_nms             : {dt*1e3:7.2f} ms")
+    if arm == "a":
+        def arm_a(prob):
+            return scalarize(select_pre_nms(prob, cells, sizes, per, a_n))
+        dt = slope_time(arm_a, (prob,))
+        print(f"select_pre_nms             : {dt*1e3:7.2f} ms")
+        return
 
     # B: + anchors gather, decode, clip, validity
     def through_b(prob):
@@ -85,8 +106,10 @@ def main():
         av = jax.vmap(_anchor_validity)(sel_anchors, im_info)
         scores = jnp.where(av, sel_scores, NEG_INF)
         return proposals, scores
-    dt = slope_time(lambda p: scalarize(through_b(p)), (prob,))
-    print(f"  + gather/decode/validity : {dt*1e3:7.2f} ms")
+    if arm == "b":
+        dt = slope_time(lambda p: scalarize(through_b(p)), (prob,))
+        print(f"  + gather/decode/validity : {dt*1e3:7.2f} ms")
+        return
 
     # C: + cross-level full top_k
     def through_c(prob):
@@ -94,8 +117,10 @@ def main():
         top_scores, top_idx = jax.lax.top_k(scores, scores.shape[1])
         top_boxes = jnp.take_along_axis(proposals, top_idx[..., None], axis=1)
         return top_boxes, top_scores
-    dt = slope_time(lambda p: scalarize(through_c(p)), (prob,))
-    print(f"  + cross-level top_k      : {dt*1e3:7.2f} ms")
+    if arm == "c":
+        dt = slope_time(lambda p: scalarize(through_c(p)), (prob,))
+        print(f"  + cross-level top_k      : {dt*1e3:7.2f} ms")
+        return
 
     # D: + NMS (the full _propose tail)
     def through_d(prob):
