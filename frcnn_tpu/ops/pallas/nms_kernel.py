@@ -162,8 +162,19 @@ def nms_mask_pallas(boxes, thresh, valid=None, interpret: bool = False):
 B_BLOCK = 8
 
 
-def _nms_kernel_b(coords_ref, valid_ref, keep_ref, sup_ref, m_ref, cnt_ref, *,
-                  thresh, n, chunk, cap):
+def _iou_mask_area(x1a, y1a, x2a, y2a, x1b, y1b, x2b, y2b, aa, ab, thresh):
+    """Pairwise IoU > thresh with areas precomputed per box.  The area
+    formula and every per-pair operation keep the ORIGINAL rounding order
+    (bbox_overlaps semantics), so results stay bit-identical to
+    ops.nms.nms_mask — only redundant per-sweep area math is hoisted."""
+    iw = jnp.minimum(x2a, x2b) - jnp.maximum(x1a, x1b) + 1.0
+    ih = jnp.minimum(y2a, y2b) - jnp.maximum(y1a, y1b) + 1.0
+    inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
+    return inter > thresh * (aa + ab - inter)
+
+
+def _nms_kernel_b(coords_ref, valid_ref, area_ref, keep_ref, sup_ref, m_ref,
+                  cnt_ref, *, thresh, n, chunk, cap):
     ti = pl.program_id(1)
     bb = B_BLOCK
 
@@ -200,19 +211,26 @@ def _nms_kernel_b(coords_ref, valid_ref, keep_ref, sup_ref, m_ref, cnt_ref, *,
         xt2 = coords_ref[:, 2, pl.ds(start, TILE)]
         yt2 = coords_ref[:, 3, pl.ds(start, TILE)]
 
+        at = area_ref[:, pl.ds(start, TILE)]
+
         def col(v):  # (BB, T) → (BB, T, 1)
             return v.reshape(bb, TILE, 1)
 
         def row(v):  # (BB, T) → (BB, 1, T)
             return v.reshape(bb, 1, TILE)
 
-        masked = _iou_mask(col(xt1), col(yt1), col(xt2), col(yt2),
-                           row(xt1), row(yt1), row(xt2), row(yt2), thresh)
+        masked = _iou_mask_area(col(xt1), col(yt1), col(xt2), col(yt2),
+                                row(xt1), row(yt1), row(xt2), row(yt2),
+                                col(at), row(at), thresh)
         t_idx = jax.lax.broadcasted_iota(jnp.int32, (bb, TILE), 1)
         # park the (BB, T, T) pair matrix in VMEM: the intra walk then loads
         # one (BB, 1, T) row per step instead of reducing the full matrix
-        # (was ~128 vregs of select+any per step; now one strided load)
-        m_ref[:, :, :] = masked.astype(jnp.int32)
+        # (was ~128 vregs of select+any per step; now one strided load).
+        # The later-box guard (col > row) is folded in here, once,
+        # vectorized — the 128 sequential intra steps then skip it.
+        row_i = jax.lax.broadcasted_iota(jnp.int32, (bb, TILE, TILE), 1)
+        col_i = jax.lax.broadcasted_iota(jnp.int32, (bb, TILE, TILE), 2)
+        m_ref[:, :, :] = (masked & (col_i > row_i)).astype(jnp.int32)
 
         sup_t = sup_ref[:, pl.ds(start, TILE)]  # (BB, T) i32
 
@@ -220,7 +238,7 @@ def _nms_kernel_b(coords_ref, valid_ref, keep_ref, sup_ref, m_ref, cnt_ref, *,
             alive = jnp.max(jnp.where(t_idx == i, sup_t, 0), axis=1,
                             keepdims=True) == 0                      # (BB, 1)
             rowi = m_ref[:, pl.ds(i, 1), :].reshape(bb, TILE) > 0    # (BB, T)
-            new = (alive & rowi & (t_idx > i)).astype(jnp.int32)
+            new = (alive & rowi).astype(jnp.int32)
             return jnp.maximum(sup_t, new)
 
         sup_t = jax.lax.fori_loop(0, TILE, intra, sup_t)
@@ -233,22 +251,34 @@ def _nms_kernel_b(coords_ref, valid_ref, keep_ref, sup_ref, m_ref, cnt_ref, *,
         kept_col = kept.reshape(bb, TILE, 1) > 0
         g_row = start + t_idx.reshape(bb, TILE, 1)
 
-        def chunk_body(jb, _):
-            cs = pl.multiple_of(jb * chunk, chunk)
+        def chunk_iou(cs):
             xc1 = coords_ref[:, 0, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
             yc1 = coords_ref[:, 1, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
             xc2 = coords_ref[:, 2, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
             yc2 = coords_ref[:, 3, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
-            iou = _iou_mask(col(xt1), col(yt1), col(xt2), col(yt2),
-                            xc1, yc1, xc2, yc2, thresh)
-            g_col = cs + jax.lax.broadcasted_iota(jnp.int32, (bb, 1, chunk), 2)
-            new_sup = jnp.any(kept_col & iou & (g_col > g_row), axis=1)
+            ac = area_ref[:, pl.ds(cs, chunk)].reshape(bb, 1, chunk)
+            return _iou_mask_area(col(xt1), col(yt1), col(xt2), col(yt2),
+                                  xc1, yc1, xc2, yc2, col(at), ac, thresh)
+
+        def apply_sup(cs, new_sup):
             cur = sup_ref[:, pl.ds(cs, chunk)]
             sup_ref[:, pl.ds(cs, chunk)] = jnp.maximum(
                 cur, new_sup.astype(jnp.int32))
+
+        # the chunk CONTAINING this tile needs the later-box guard …
+        fc = start // chunk
+        cs0 = pl.multiple_of(fc * chunk, chunk)
+        g_col = cs0 + jax.lax.broadcasted_iota(jnp.int32, (bb, 1, chunk), 2)
+        apply_sup(cs0, jnp.any(kept_col & chunk_iou(cs0) & (g_col > g_row),
+                               axis=1))
+
+        # … chunks strictly after it are all later boxes — no guard
+        def chunk_body(jb, _):
+            cs = pl.multiple_of(jb * chunk, chunk)
+            apply_sup(cs, jnp.any(kept_col & chunk_iou(cs), axis=1))
             return 0
 
-        jax.lax.fori_loop((start // chunk), n // chunk, chunk_body, 0)
+        jax.lax.fori_loop(fc + 1, n // chunk, chunk_body, 0)
 
 
 @partial(jax.jit, static_argnames=("thresh", "cap"))
@@ -256,6 +286,10 @@ def _nms_pallas_batched_padded(coords, valid, thresh: float, cap: int):
     """coords (B, 4, N), valid (B, N) i32; B % B_BLOCK == 0, N % TILE == 0."""
     b, _, n = coords.shape
     chunk = min(CHUNK, n)  # small problems don't pad to the full chunk
+    # per-box areas hoisted out of the kernel sweeps — same formula and
+    # rounding as bbox_overlaps, so keep masks stay bit-identical
+    areas = ((coords[:, 2] - coords[:, 0] + 1.0)
+             * (coords[:, 3] - coords[:, 1] + 1.0))
     kernel = partial(_nms_kernel_b, thresh=float(thresh), n=n, chunk=chunk,
                      cap=cap)
     keep = pl.pallas_call(
@@ -263,6 +297,8 @@ def _nms_pallas_batched_padded(coords, valid, thresh: float, cap: int):
         grid=(b // B_BLOCK, n // TILE),
         in_specs=[
             pl.BlockSpec((B_BLOCK, 4, n), lambda bb, ti: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B_BLOCK, n), lambda bb, ti: (bb, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B_BLOCK, n), lambda bb, ti: (bb, 0),
                          memory_space=pltpu.VMEM),
@@ -275,7 +311,7 @@ def _nms_pallas_batched_padded(coords, valid, thresh: float, cap: int):
                         pltpu.VMEM((B_BLOCK, 1), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
-    )(coords, valid)
+    )(coords, valid, areas.astype(jnp.float32))
     return keep
 
 
