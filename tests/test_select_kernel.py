@@ -1,0 +1,102 @@
+"""topk_threshold Pallas kernel: exact-set agreement with lax.top_k
+(stable-argsort oracle), including tie-heavy and adversarial inputs.
+
+Interpret mode on CPU; compiled + REPEAT-executed on TPU under
+FRCNN_TPU_TEST_TPU=1 (repeat execution is where the axon backend broke the
+XLA strided-top-k build — PROFILE_r04 §2)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from frcnn_tpu.ops.pallas.select_kernel import (topk_threshold,
+                                                topk_threshold_ref)
+
+ON_TPU = jax.default_backend() == "tpu"
+INTERPRET = not ON_TPU
+
+
+def _check(x, k, interpret=INTERPRET):
+    x = jnp.asarray(x, jnp.float32)
+    vals, idx = topk_threshold(x, k, interpret=interpret)
+    rvals, ridx = topk_threshold_ref(x, k)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+    np.testing.assert_array_equal(np.asarray(vals), np.asarray(rvals))
+    # and the selected VALUES (sorted desc) equal lax.top_k's exactly
+    wv, _ = jax.lax.top_k(x, k)
+    np.testing.assert_array_equal(
+        -np.sort(-np.asarray(vals), axis=-1), np.asarray(wv))
+
+
+def test_unique_values():
+    rng = np.random.RandomState(0)
+    x = rng.permutation(3 * 4096).reshape(3, 4096).astype(np.float32)
+    _check(x, 300)
+
+
+def test_random_uniform_padded_row():
+    # S not a multiple of the 512-lane block; k odd-sized
+    rng = np.random.RandomState(1)
+    _check(rng.rand(2, 3001).astype(np.float32), 77)
+
+
+def test_tie_heavy_quantized():
+    # 8-level quantization: the threshold bucket holds many ties; the first-r
+    # by index must be selected (lax.top_k's tie rule)
+    rng = np.random.RandomState(2)
+    x = np.floor(rng.rand(3, 2048) * 8).astype(np.float32)
+    _check(x, 500)
+
+
+def test_all_equal():
+    _check(np.ones((2, 1536), np.float32), 200)
+
+
+def test_mixed_signs_and_infs():
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 2048).astype(np.float32) * 100
+    x[0, :50] = -np.inf
+    x[0, 50:60] = np.inf
+    x[1, ::3] = -x[1, ::3]
+    _check(x, 600)
+
+
+def test_k_equals_s():
+    rng = np.random.RandomState(4)
+    x = rng.randn(2, 700).astype(np.float32)
+    _check(x, 700)
+
+
+def test_k_one():
+    rng = np.random.RandomState(5)
+    _check(rng.randn(2, 1111).astype(np.float32), 1)
+
+
+def test_clustered_run():
+    # a contiguous dominant run (the strided-select hard case) — threshold
+    # select has no block-saturation mode at all, but keep the case pinned
+    rng = np.random.RandomState(6)
+    x = rng.rand(2, 8192).astype(np.float32) * 0.1
+    x[0, 2000:4500] += 0.9
+    x[1, :2500] += 0.9
+    _check(x, 2000)
+
+
+def test_sigmoid_like_production_shape():
+    # FPN train L3 shape scaled down: sigmoid-distributed scores
+    rng = np.random.RandomState(7)
+    x = 1.0 / (1.0 + np.exp(-rng.randn(2, 29184).astype(np.float32)))
+    _check(x, 2000)
+
+
+@pytest.mark.skipif(not ON_TPU, reason="needs TPU (FRCNN_TPU_TEST_TPU=1)")
+def test_tpu_compiled_repeat_execution():
+    """Compiled on the chip, executed 5x with fresh inputs — the failure
+    mode that killed the strided XLA build was the SECOND execution."""
+    rng = np.random.RandomState(8)
+    for trial in range(5):
+        x = rng.rand(4, 29184).astype(np.float32)
+        _check(x, 2000, interpret=False)
