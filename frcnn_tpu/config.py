@@ -166,6 +166,9 @@ class TPUConfig:
     PIXEL_SCALE: float = 1.0
     ROI_SAMPLING_RATIO: int = 2             # RoIAlign samples per bin side
     USE_PALLAS: bool = True                 # Pallas kernels on TPU, jnp ref elsewhere
+    # Exact threshold-select Pallas kernel for pre-NMS top-k on big anchor
+    # rows (ops/pallas/select_kernel.py); kill switch like FUSED_RESNET_BLOCKS.
+    THRESHOLD_SELECT: bool = True
     # Fused single-kernel Pallas bottleneck blocks for the bandwidth-bound
     # ResNet stages (ops/pallas/fused_block.py); auto-gated to stride-1 +
     # frozen-BN + bf16 + TPU, so this is a kill switch, not a promise.

@@ -37,7 +37,11 @@ from frcnn_tpu.ops.roi_align import (multilevel_pallas_fits,
                                      roi_align_multilevel_pallas)
 
 
-def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int):
+THRESHOLD_SELECT_MIN_S = 16384  # below this lax.top_k beats the 2-launch kernel
+
+
+def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int,
+                   use_threshold: bool = False):
     """Per-level pre-NMS top-k over A-MAJOR fg_prob, with deltas fetched as
     cell rows + an A-way lane select.
 
@@ -52,7 +56,13 @@ def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int):
     the same anchors.  The point of this formulation: the lane-padded
     (B, K, 4) per-anchor delta rows never materialize on the detect path
     (~2 ms of Mosaic relayout at 800×1216 B8 — scripts/probe_fpn_rpn.py).
-    Oracle-tested against take_along_axis-on-rows in tests/test_fpn.py."""
+    Oracle-tested against take_along_axis-on-rows in tests/test_fpn.py.
+
+    use_threshold (TPU + cfg.TPU.THRESHOLD_SELECT): big levels select via
+    the exact threshold Pallas kernel instead of XLA TopK (~full-sort cost
+    on this backend), then re-rank the k winners by (-score, index) pairs —
+    bit-identical output to lax.top_k including tie order (padding regions
+    produce exact score ties, so order parity matters downstream)."""
     sel, sel_cell, sel_a, sel_sc = [], [], [], []
     off = cell_off = 0
     for s in sizes:
@@ -65,14 +75,16 @@ def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int):
             sc = lvl
             idx = jnp.broadcast_to(
                 jnp.arange(s, dtype=jnp.int32), lvl.shape)
+        elif use_threshold and s >= THRESHOLD_SELECT_MIN_S:
+            from frcnn_tpu.ops.pallas.select_kernel import topk_threshold
+
+            tv, ti = topk_threshold(lvl, k)        # exact set, index-asc
+            neg, idx = jax.lax.sort((-tv, ti), dimension=-1, num_keys=2)
+            sc = -neg                              # lax.top_k order exactly
         else:
-            # plain XLA TopK.  ops/select.topk_strided would cut the big
-            # levels ~2x (measured 0.98 -> 0.55 ms at L2 train shape), but
-            # the axon backend mis-executes programs holding its strided
-            # top-k graphs — repeat/second executions die with
-            # INVALID_ARGUMENT (PROFILE_r04 §2, reproduced 5x incl. the
-            # real 800x1216 detect).  Re-wire via topk_strided(lvl, k,
-            # fallback=False) when the backend is fixed.
+            # plain XLA TopK (ops/select.topk_strided measured faster still
+            # but the axon backend mis-executes its strided graphs —
+            # PROFILE_r04 §2; the threshold kernel above is the fix)
             sc, idx = jax.lax.top_k(lvl, k)
         a = idx // hw
         cell = idx % hw
@@ -335,8 +347,10 @@ class FasterRCNNFPN(nn.Module):
                 else cfg.TEST.RPN_POST_NMS_TOP_N)
         thresh = cfg.TRAIN.RPN_NMS_THRESH if train else cfg.TEST.RPN_NMS_THRESH
 
+        use_threshold = (cfg.TPU.USE_PALLAS and cfg.TPU.THRESHOLD_SELECT
+                         and jax.default_backend() == "tpu")
         sel, sel_scores, sel_deltas = select_pre_nms(
-            fg_prob, box_cells, sizes, per, a_n)
+            fg_prob, box_cells, sizes, per, a_n, use_threshold=use_threshold)
         sel_anchors = anchors[sel]                              # (B, pre_n, 4)
 
         # joint cross-level NMS, one batched launch; per-image anchors differ

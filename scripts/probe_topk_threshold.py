@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""On-chip validation + A/B of the threshold-select Pallas kernel
+(ops/pallas/select_kernel.topk_threshold) vs jax.lax.top_k at the FPN
+propose shapes.
+
+Three checks, in one process (deliberately — the axon backend's strided-
+top-k failure fired on the SECOND similar program in one process;
+PROFILE_r04 §2):
+
+  1. parity: kernel indices/values == stable-argsort oracle (computed on
+     CPU via numpy) at the train L2 shape, repeated 5x with fresh inputs;
+  2. a second, different shape (detect P2) compiled and repeat-executed in
+     the same process (cross-program interference check);
+  3. slope A/B: kernel vs lax.top_k at both shapes.
+
+Usage: python scripts/probe_topk_threshold.py
+"""
+
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.join(osp.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from scripts.profile_backbone import slope_time
+from frcnn_tpu.ops.pallas.select_kernel import topk_threshold
+
+
+def np_oracle(x, k):
+    order = np.argsort(-x, axis=-1, kind="stable")[..., :k]
+    idx = np.sort(order, axis=-1).astype(np.int32)
+    return np.take_along_axis(x, idx, axis=-1), idx
+
+
+def parity(shape, k, trials, tag):
+    rng = np.random.RandomState(0)
+    ok = True
+    for t in range(trials):
+        x = (1.0 / (1.0 + np.exp(-rng.randn(*shape)))).astype(np.float32)
+        v, i = jax.jit(lambda a: topk_threshold(a, k))(jnp.asarray(x))
+        v, i = np.asarray(v), np.asarray(i)
+        rv, ri = np_oracle(x, k)
+        if not ((v == rv).all() and (i == ri).all()):
+            bad = int((i != ri).sum())
+            print(f"  {tag} trial {t}: MISMATCH ({bad} idx cells differ)")
+            ok = False
+        else:
+            print(f"  {tag} trial {t}: exact")
+    return ok
+
+
+def ab(shape, k, tag):
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(
+        (1.0 / (1.0 + np.exp(-rng.randn(*shape)))).astype(np.float32))
+
+    def kern(a):
+        v, i = topk_threshold(a, k)
+        return v.sum() + i.sum()
+
+    def direct(a):
+        v, i = jax.lax.top_k(a, k)
+        return v.sum() + i.sum()
+
+    tk = slope_time(kern, (x,)) * 1e3
+    td = slope_time(direct, (x,)) * 1e3
+    print(f"  {tag}: kernel {tk:.3f} ms   lax.top_k {td:.3f} ms   "
+          f"({td / tk:.2f}x)")
+
+
+def main():
+    print(f"backend={jax.default_backend()}")
+    shapes = [((8, 116736), 2000, "train-L2 (8,116736) k=2000"),
+              ((8, 182400), 1000, "detect-P2 (8,182400) k=1000")]
+    allok = True
+    for shape, k, tag in shapes:
+        allok &= parity(shape, k, 3, tag)
+    # interleaved re-execution of both compiled programs
+    for rep in range(2):
+        for shape, k, tag in shapes:
+            allok &= parity(shape, k, 1, tag + f" re-exec {rep}")
+    for shape, k, tag in shapes:
+        ab(shape, k, tag)
+    print("ALL PARITY OK" if allok else "PARITY FAILURES — see above")
+
+
+if __name__ == "__main__":
+    main()

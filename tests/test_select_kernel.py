@@ -92,6 +92,39 @@ def test_sigmoid_like_production_shape():
     _check(x, 2000)
 
 
+def test_select_pre_nms_threshold_path_bit_identical(monkeypatch):
+    """The wired FPN path (select_pre_nms use_threshold=True) must be
+    BIT-IDENTICAL to the lax.top_k path — ids, scores, AND order (the
+    post-kernel (-score, index) pair-sort restores lax.top_k's tie rule;
+    padding regions produce exact score ties, so order parity is what
+    keeps downstream NMS unchanged)."""
+    from functools import partial
+
+    from frcnn_tpu.models import fpn as fpn_mod
+    from frcnn_tpu.ops.pallas import select_kernel as sk
+
+    monkeypatch.setattr(fpn_mod, "THRESHOLD_SELECT_MIN_S", 256)
+    monkeypatch.setattr(sk, "topk_threshold",
+                        partial(topk_threshold, interpret=True))
+
+    rng = np.random.RandomState(11)
+    a_n, b = 3, 2
+    hws = [(16, 24), (8, 12), (2, 3)]
+    sizes = [h * w * a_n for h, w in hws]
+    per = 100
+    # heavy exact ties: quantized scores (as zero-padding regions produce)
+    fg = np.floor(rng.rand(b, sum(sizes)) * 50).astype(np.float32) / 50
+    cells = [jnp.asarray(rng.randn(b, h * w, 4 * a_n).astype(np.float32))
+             for h, w in hws]
+    ref = fpn_mod.select_pre_nms(jnp.asarray(fg), cells, sizes, per, a_n,
+                                 use_threshold=False)
+    got = fpn_mod.select_pre_nms(jnp.asarray(fg), cells, sizes, per, a_n,
+                                 use_threshold=True)
+    for name, a, c in zip(("sel", "scores", "deltas"), got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c),
+                                      err_msg=name)
+
+
 @pytest.mark.skipif(not ON_TPU, reason="needs TPU (FRCNN_TPU_TEST_TPU=1)")
 def test_tpu_compiled_repeat_execution():
     """Compiled on the chip, executed 5x with fresh inputs — the failure
