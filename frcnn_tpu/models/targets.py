@@ -42,23 +42,35 @@ def _rank_by_random_priority(mask, key):
     return jnp.where(mask, rank, n)
 
 
-def _subsample_idx(mask, max_quota: int, quota, key):
+THRESHOLD_SELECT_MIN_S = 16384  # same gate as models/fpn.py
+
+
+def _subsample_idx(mask, max_quota: int, quota, key, use_threshold=False):
     """Indices of min(quota, sum(mask)) True entries of ``mask`` sampled
     uniformly without replacement: ``idx (max_quota,)`` anchor ids and
     ``take (max_quota,)`` marking the live slots (the rest are top_k filler
     whose consumers must weight them 0).  ``max_quota`` must be a static
     upper bound for the (possibly traced) ``quota``.
 
-    NOTE: ops.select.topk_strided would cut this top_k ~3x at the FPN
-    155k-anchor scale (scripts/probe_topk.py — XLA TopK cost is
-    ~k-independent in n), and with the tie-free decreasing filler ramp
-    below its selection is identical, but the axon backend currently
-    mis-executes programs holding strided top-k graphs (INVALID_ARGUMENT
-    on repeat executions — PROFILE_r04 §2).  Re-wire when fixed."""
+    use_threshold (TPU, cfg.TPU.THRESHOLD_SELECT via the anchor_target_*
+    callers): select via the exact threshold Pallas kernel — XLA TopK costs
+    ~a full row sort regardless of k on this backend (scripts/probe_topk.py)
+    and the priorities here are a 155k row at FPN scale, twice per image.
+    The (-value, index) pair-sort of the k winners restores lax.top_k's
+    exact order, so the sampled SLOTS (not just the set) are bit-identical.
+    (ops/select.topk_strided was the earlier, XLA-level attempt; the axon
+    backend mis-executes its strided graphs — PROFILE_r04 §2.)"""
     n = mask.shape[0]
     ramp = jnp.arange(n, dtype=jnp.float32) * jnp.float32(2.0 ** -17)
     pri = jnp.where(mask, 1.0 + jax.random.uniform(key, (n,)), -1.0 - ramp)
-    vals, idx = jax.lax.top_k(pri, max_quota)
+    if use_threshold and n >= THRESHOLD_SELECT_MIN_S:
+        from frcnn_tpu.ops.pallas.select_kernel import topk_threshold
+
+        tv, ti = topk_threshold(pri[None], max_quota)
+        neg, idx = jax.lax.sort((-tv[0], ti[0]), dimension=-1, num_keys=2)
+        vals = -neg
+    else:
+        vals, idx = jax.lax.top_k(pri, max_quota)
     take = (jnp.arange(max_quota) < quota) & (vals > 0.0)
     return idx, take
 
@@ -229,10 +241,14 @@ def anchor_target_compact(anchors, gt_boxes, gt_valid, im_info, key,
     num_fg = int(t.RPN_FG_FRACTION * t.RPN_BATCHSIZE)
     fg_mask = labels0 == 1
     bg_mask = labels0 == 0
-    fg_idx, fg_take = _subsample_idx(fg_mask, num_fg, num_fg, kf)
+    use_th = (cfg.TPU.USE_PALLAS and cfg.TPU.THRESHOLD_SELECT
+              and jax.default_backend() == "tpu")
+    fg_idx, fg_take = _subsample_idx(fg_mask, num_fg, num_fg, kf,
+                                     use_threshold=use_th)
     n_fg = jnp.minimum(jnp.sum(fg_mask), num_fg)
     bg_idx, bg_take = _subsample_idx(bg_mask, t.RPN_BATCHSIZE,
-                                     t.RPN_BATCHSIZE - n_fg, kb)
+                                     t.RPN_BATCHSIZE - n_fg, kb,
+                                     use_threshold=use_th)
 
     sel = jnp.concatenate([fg_idx, bg_idx])                 # (S,)
     valid = jnp.concatenate([fg_take, bg_take])             # (S,)

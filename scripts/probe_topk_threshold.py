@@ -71,6 +71,30 @@ def ab(shape, k, tag):
           f"({td / tk:.2f}x)")
 
 
+def vmapped_sampler_check():
+    """The anchor-sampler pattern: vmapped 1-row topk_threshold, k=256,
+    iid priorities — parity + repeat execution."""
+    rng = np.random.RandomState(9)
+    ok = True
+    for t in range(3):
+        x = rng.rand(8, 155520).astype(np.float32)
+
+        @jax.jit
+        def f(a):
+            def one(row):
+                v, i = topk_threshold(row[None], 256)
+                return v[0], i[0]
+            return jax.vmap(one)(a)
+
+        v, i = f(jnp.asarray(x))
+        rv, ri = np_oracle(x, 256)
+        good = (np.asarray(v) == rv).all() and (np.asarray(i) == ri).all()
+        print(f"  vmapped sampler (8x155520) k=256 trial {t}: "
+              f"{'exact' if good else 'MISMATCH'}")
+        ok &= good
+    return ok
+
+
 def main():
     print(f"backend={jax.default_backend()}")
     shapes = [((8, 116736), 2000, "train-L2 (8,116736) k=2000"),
@@ -82,6 +106,7 @@ def main():
     for rep in range(2):
         for shape, k, tag in shapes:
             allok &= parity(shape, k, 1, tag + f" re-exec {rep}")
+    allok &= vmapped_sampler_check()
     for shape, k, tag in shapes:
         ab(shape, k, tag)
     print("ALL PARITY OK" if allok else "PARITY FAILURES — see above")

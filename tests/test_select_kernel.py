@@ -125,6 +125,35 @@ def test_select_pre_nms_threshold_path_bit_identical(monkeypatch):
                                       err_msg=name)
 
 
+def test_subsample_idx_threshold_path_bit_identical(monkeypatch):
+    """The anchor fg/bg sampler (targets._subsample_idx) with the threshold
+    kernel must return bit-identical (idx, take) to the lax.top_k path —
+    slots included, under vmap as the train step calls it."""
+    from functools import partial
+
+    from frcnn_tpu.models import targets as tg
+    from frcnn_tpu.ops.pallas import select_kernel as sk
+
+    monkeypatch.setattr(tg, "THRESHOLD_SELECT_MIN_S", 256)
+    monkeypatch.setattr(sk, "topk_threshold",
+                        partial(topk_threshold, interpret=True))
+
+    rng = np.random.RandomState(12)
+    mask = jnp.asarray(rng.rand(4, 5000) < 0.02)
+    keys = jax.random.split(jax.random.PRNGKey(3), 4)
+
+    def run(use_th):
+        return jax.vmap(
+            lambda m, k: tg._subsample_idx(m, 128, 128, k,
+                                           use_threshold=use_th)
+        )(mask, keys)
+
+    ri, rt = run(False)
+    gi, gt = run(True)
+    np.testing.assert_array_equal(np.asarray(gi), np.asarray(ri))
+    np.testing.assert_array_equal(np.asarray(gt), np.asarray(rt))
+
+
 @pytest.mark.skipif(not ON_TPU, reason="needs TPU (FRCNN_TPU_TEST_TPU=1)")
 def test_tpu_compiled_repeat_execution():
     """Compiled on the chip, executed 5x with fresh inputs — the failure
