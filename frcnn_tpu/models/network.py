@@ -242,7 +242,9 @@ class FasterRCNN(nn.Module):
                 pre_nms_top_n=cfg.TEST.RPN_PRE_NMS_TOP_N,
                 post_nms_top_n=cfg.TEST.RPN_POST_NMS_TOP_N,
                 nms_thresh=cfg.TEST.RPN_NMS_THRESH,
-                use_pallas=cfg.TPU.USE_PALLAS)
+                use_pallas=cfg.TPU.USE_PALLAS,
+                use_threshold=(cfg.TPU.USE_PALLAS and cfg.TPU.THRESHOLD_SELECT
+                               and jax.default_backend() == "tpu"))
 
         pooled = self._pool(feat, rois)
         _, cls_prob, bbox_pred = self._classify(pooled, train=False)
@@ -284,7 +286,9 @@ class FasterRCNN(nn.Module):
             pre_nms_top_n=cfg.TRAIN.RPN_PRE_NMS_TOP_N,
             post_nms_top_n=cfg.TRAIN.RPN_POST_NMS_TOP_N,
             nms_thresh=cfg.TRAIN.RPN_NMS_THRESH,
-            use_pallas=cfg.TPU.USE_PALLAS)
+            use_pallas=cfg.TPU.USE_PALLAS,
+            use_threshold=(cfg.TPU.USE_PALLAS and cfg.TPU.THRESHOLD_SELECT
+                           and jax.default_backend() == "tpu"))
 
         keys = jax.random.split(key, 2 * b)
         at = jax.vmap(

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 from frcnn_tpu.ops.boxes import bbox_transform_inv, clip_boxes
 from frcnn_tpu.ops.nms import nms_fixed, nms_fixed_batched, NEG_INF
 
+THRESHOLD_SELECT_MIN_S = 16384  # same gate as models/fpn.py and targets.py
+
 
 def _anchor_validity(anchors, im_info):
     """Anchors whose centre lies inside the *actual* image (not the padded
@@ -57,13 +59,21 @@ def proposal_layer(scores, deltas, anchors, im_info, *, pre_nms_top_n: int,
 
 def proposal_layer_batch(scores, deltas, anchors, im_info, *, pre_nms_top_n: int,
                          post_nms_top_n: int, nms_thresh: float,
-                         use_pallas: bool = True):
+                         use_pallas: bool = True, use_threshold: bool = False):
     """Batched proposal path: scores (B, K), deltas (B, K, 4), anchors (K, 4),
     im_info (B, 3) → (rois (B, P, 4), scores (B, P), valid (B, P)).
 
     Same semantics as vmapped ``proposal_layer``, but all images' NMS runs in
     ONE Pallas launch (see ops.nms.nms_fixed_batched).
-    """
+
+    use_threshold (TPU + cfg.TPU.THRESHOLD_SELECT): the pre-NMS top-k runs
+    as the exact threshold Pallas kernel + a (-score, index) pair-sort of
+    the pre_n winners — XLA TopK costs ~a full K-row sort here (C4 at
+    800×1216: K=34200 → ~1.5 ms of the 4.2 ms RPN stage, PROFILE_r02 §2)
+    while the pair re-sort touches only pre_n rows.  Bit-identical output
+    incl. the NEG_INF-tie order of masked padding anchors; gated to a ≥3x
+    shrink (the C4 train shape 12000-of-21888 would pay more in the
+    re-sort than the kernel saves)."""
     b, k = scores.shape
     proposals = bbox_transform_inv(anchors, deltas)        # (B, K, 4)
     proposals = clip_boxes(proposals, im_info[:, :2])
@@ -71,7 +81,14 @@ def proposal_layer_batch(scores, deltas, anchors, im_info, *, pre_nms_top_n: int
     av = jax.vmap(lambda i: _anchor_validity(anchors, i))(im_info)  # (B, K)
     scores = jnp.where(av, scores, NEG_INF)
     pre_n = min(pre_nms_top_n, k)
-    top_scores, top_idx = jax.lax.top_k(scores, pre_n)     # (B, pre_n)
+    if (use_threshold and k >= THRESHOLD_SELECT_MIN_S and 3 * pre_n <= k):
+        from frcnn_tpu.ops.pallas.select_kernel import topk_threshold
+
+        tv, ti = topk_threshold(scores, pre_n)             # exact set
+        neg, top_idx = jax.lax.sort((-tv, ti), dimension=-1, num_keys=2)
+        top_scores = -neg                                  # lax.top_k order
+    else:
+        top_scores, top_idx = jax.lax.top_k(scores, pre_n)  # (B, pre_n)
     top_boxes = jnp.take_along_axis(proposals, top_idx[..., None], axis=1)
     top_valid = top_scores > NEG_INF / 2
 

@@ -154,6 +154,42 @@ def test_subsample_idx_threshold_path_bit_identical(monkeypatch):
     np.testing.assert_array_equal(np.asarray(gt), np.asarray(rt))
 
 
+def test_proposal_layer_batch_threshold_path_bit_identical(monkeypatch):
+    """The C4 batched proposal layer with the threshold kernel must return
+    bit-identical (rois, scores, valid) to the lax.top_k path — the top-k
+    feeds NMS presorted, so tie ORDER (incl. NEG_INF-masked padding
+    anchors) decides downstream keeps."""
+    from functools import partial
+
+    from frcnn_tpu.models import proposals as pr
+    from frcnn_tpu.ops.anchors import generate_anchors_pre
+    from frcnn_tpu.ops.pallas import select_kernel as sk
+
+    monkeypatch.setattr(pr, "THRESHOLD_SELECT_MIN_S", 256)
+    monkeypatch.setattr(sk, "topk_threshold",
+                        partial(topk_threshold, interpret=True))
+
+    rng = np.random.RandomState(13)
+    anchors, _ = generate_anchors_pre(16, 24, 16)
+    k = anchors.shape[0]                      # 16*24*9 = 3456
+    scores = jnp.asarray(rng.rand(2, k).astype(np.float32))
+    deltas = jnp.asarray((rng.randn(2, k, 4) * 0.1).astype(np.float32))
+    # one image smaller than the padded grid: many NEG_INF-masked anchors
+    im_info = jnp.asarray([[256.0, 384.0, 1.0], [120.0, 150.0, 1.0]])
+
+    def run(use_th):
+        return pr.proposal_layer_batch(
+            scores, deltas, jnp.asarray(anchors), im_info,
+            pre_nms_top_n=1000, post_nms_top_n=64, nms_thresh=0.7,
+            use_pallas=False, use_threshold=use_th)
+
+    ref = run(False)
+    got = run(True)
+    for name, a, c in zip(("rois", "scores", "valid"), got, ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c),
+                                      err_msg=name)
+
+
 @pytest.mark.skipif(not ON_TPU, reason="needs TPU (FRCNN_TPU_TEST_TPU=1)")
 def test_tpu_compiled_repeat_execution():
     """Compiled on the chip, executed 5x with fresh inputs — the failure
