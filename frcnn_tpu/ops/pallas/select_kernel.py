@@ -122,7 +122,7 @@ def _extract_kernel(keys_ref, meta_ref, ps_ref, pt_ref, lt_ref, out_ref, *,
                     n_blocks):
     t = meta_ref[0, 0]
     r = meta_ref[0, 1]
-    out_ref[:, :] = jnp.zeros_like(out_ref[:, :])
+    out_ref[0] = jnp.zeros_like(out_ref[0])
     col = jax.lax.broadcasted_iota(jnp.int32, (C, SPAN), 1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
     r_f = r.astype(jnp.float32)
@@ -143,8 +143,8 @@ def _extract_kernel(keys_ref, meta_ref, ps_ref, pt_ref, lt_ref, out_ref, *,
                              preferred_element_type=jnp.float32)  # (1, C)
 
         base = ps_g + jnp.minimum(pt_g, r)               # global output slot
-        tile0 = jnp.bitwise_and(base, jnp.int32(~127))   # aligned lane base
-        shift = base - tile0
+        row0 = jax.lax.shift_right_logical(base, 7)      # 128-slot output row
+        shift = base - jax.lax.shift_left(row0, 7)
         # one-hot: survivor at lane i -> output column sel_ex[i] + shift
         pos = (sel_ex + shift.astype(jnp.float32)).astype(jnp.int32)
         oh = ((pos.reshape(C, 1) == col) & sel.reshape(C, 1)
@@ -152,11 +152,13 @@ def _extract_kernel(keys_ref, meta_ref, ps_ref, pt_ref, lt_ref, out_ref, *,
         gidx = (g * C + lane + 1).astype(jnp.float32) * sel_f
         comp = jax.lax.dot(gidx, oh,
                            preferred_element_type=jnp.float32)  # (1, SPAN)
-        comp_i = comp.astype(jnp.int32)
-
-        off = pl.multiple_of(tile0, 128)
-        cur = out_ref[0:1, pl.ds(off, SPAN)]
-        out_ref[0:1, pl.ds(off, SPAN)] = jnp.where(comp_i != 0, comp_i, cur)
+        # aligned minor-split to (SPAN/128, 128) rows, then one merged store
+        # at a dynamic SUBLANE offset (the Mosaic-friendly form; cf. the
+        # roi_align kernel's minor-split shape-casts)
+        comp_i = comp.astype(jnp.int32).reshape(SPAN // 128, 128)
+        cur = out_ref[0, pl.ds(row0, SPAN // 128), :]
+        out_ref[0, pl.ds(row0, SPAN // 128), :] = jnp.where(
+            comp_i != 0, comp_i, cur)
         return carry
 
     jax.lax.fori_loop(0, n_blocks, block, 0)
@@ -188,9 +190,9 @@ def _topk_threshold_padded(keys, k: int, interpret: bool = False):
         interpret=interpret,
     )(keys)
 
-    # extract: the out row holds index+1 packed at slots [0, k); the slack
+    # extract: the out rows hold index+1 packed at slots [0, k); the slack
     # tail (never written or written by trailing-block padding) stays 0
-    out_lanes = -(-(k + SPAN + 128) // 128) * 128
+    out_rows = -(-(k + SPAN + 128) // 128)
     lt_c = (jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
             < jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
             ).astype(jnp.float32)
@@ -207,12 +209,12 @@ def _topk_threshold_padded(keys, k: int, interpret: bool = False):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, out_lanes), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, out_rows, 128), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, out_lanes), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, out_rows, 128), jnp.int32),
         interpret=interpret,
     )(keys, meta, ps, pt, lt_c)
-    return packed[:, :k] - 1
+    return packed.reshape(b, out_rows * 128)[:, :k] - 1
 
 
 def topk_threshold(scores, k: int, interpret: bool = False):
