@@ -1,54 +1,51 @@
-"""Pallas TPU exact top-k by threshold (radix-select) for the proposal layers.
+"""Pallas-assisted exact top-k by threshold (radix-select) for the
+proposal layers.
 
 TPU-native replacement for the proposal layer's pre-NMS score selection
 (``lib/layer_utils/proposal_layer.py:~L20-L80`` sorts all anchor scores and
 keeps RPN_PRE_NMS_TOP_N; SURVEY.md #13).  ``jax.lax.top_k`` on this backend
 costs ~a full sort of the row regardless of k (measured: k=48 is *slower*
-than k=2000 on a 116k row — PROFILE_r04 §2), so selecting 2000 of ~117-182k
-FPN anchor scores burns ~1-2 ms/level at production shapes.  The XLA-level
-two-stage decomposition (``ops/select.topk_strided``) measured 1.8x faster
-but the axon backend mis-executes its strided multi-TopK graphs
-(PROFILE_r04 §2) — this kernel is the Mosaic-compiled answer that avoids
-XLA TopK entirely.
+than k=2000 on a 116k row — PROFILE_r04 §2), so selecting 1-2k of ~117-182k
+FPN anchor scores burns ~1.3-1.5 ms/level at production shapes.  The
+XLA-level two-stage decomposition (``ops/select.topk_strided``) measured
+1.8x faster but the axon backend mis-executes its strided multi-TopK
+graphs (PROFILE_r04 §2) — this module avoids XLA TopK entirely.
 
 Contract: ``topk_threshold(scores (B, S) f32, k)`` returns
 ``(values (B, k) f32, indices (B, k) int32)`` — the EXACT top-k *set* of
 ``lax.top_k`` including its tie rule (for equal values at the cut, lower
-index wins), but in **index-ascending order**, not score-descending.  The
-FPN propose path re-ranks the cross-level concat with one small top-k
-anyway, so per-level order is irrelevant there; callers that need
-score-descending order must re-rank.  NaN scores are unsupported
+index wins), but in **index-ascending order**, not score-descending.
+Callers that need score-descending order re-rank the k winners with one
+small (-value, index) pair-sort (see models/fpn.py::select_pre_nms) —
+still far cheaper than sorting the full row.  NaN scores are unsupported
 (detector scores are sigmoids); ±inf and every finite float are fine.
 
-Algorithm (two kernels, both O(S) work, no sort anywhere):
+Two stages, both O(S) work, no sort and no sequential per-block walk
+(a first design walked blocks with a fori of small matmuls — measured
+LATENCY-bound at ~8 µs/block, slower than the top_k it replaced; the
+extraction below is all wide vector ops):
 
-  Phase A (``_thresh_kernel``): map scores to order-preserving int32 keys
-  (host-side elementwise; sign-fixup of the raw float bits), then binary
-  search the 31 value bits for the k-th largest key T: 31 masked-count
-  reductions over the VMEM-resident row.  Afterwards count per C-lane
-  block the strict survivors (key > T) and threshold ties (key == T) and
-  turn both into exclusive running prefixes with one triangular matmul.
-  Outputs per row: T, r = k - count(key > T) (how many ties to keep), and
-  the two per-block prefix tables.
+  Stage 1 (``_thresh_kernel``, Pallas): map scores to order-preserving
+  int32 keys (host-side elementwise sign-fixup of the float bits), then
+  binary-search the 31 value bits for the k-th largest key T with 31
+  masked-count reductions over the VMEM-resident row — one HBM read
+  total.  Then count per C-lane block the strict survivors (key > T) and
+  threshold ties (key == T), and emit both as exclusive running prefixes
+  (one triangular matmul): ``ps``/``pt`` (B, nB, 1), plus T and
+  r = k - count(key > T) (how many ties to keep, lowest-index-first).
 
-  Phase B (``_extract_kernel``): walk the blocks in index order (fori, the
-  row stays VMEM-resident).  A block's selected lanes are
-  ``strict | (tie & (tie_prefix < r))`` — globally exactly k lanes.  Their
-  within-block output slots come from an exclusive-cumsum-by-triangular-
-  matmul; adding the block's global base offset (phase-A prefixes, read
-  from SMEM) and splitting it into an aligned 128-lane tile base plus an
-  in-tile shift turns compaction into one (C, C+128) one-hot matmul and a
-  single lane-aligned merged store (survivors are packed contiguously, so
-  a later block only ever overwrites an earlier block's empty padding —
-  empties are 0, real entries carry index+1).
-
-Cost at the FPN detect P2 shape (8 x 182k, k=2000): ~31 VMEM passes for
-the search + one one-hot build/matmul per 512-lane block — measured
-on-chip in PROFILE_r04 §4 vs ~1.5-2 ms for ``lax.top_k``.
+  Stage 2 (pure XLA): the selected set is
+  ``strict | (tie & global_tie_rank < r)`` — exactly k elements.  For
+  each output slot j in [0, k): its block is the last g with
+  ``base[g] <= j`` (base = ps + min(pt, r), non-decreasing — a dense
+  compare-count, no searchsorted loop), its in-block rank is
+  ``j - base[g]``, and its lane is the one whose in-block exclusive
+  selected-cumsum equals that rank — a row gather of the block's cumsum
+  plus a C-wide match reduction, vectorized over all (B, k) slots.
 
 Exactness is structural (integer compares on keys computed once), not
-probabilistic: there is no saturation case and no fallback branch — the
-two properties the strided XLA decomposition could not give us.
+probabilistic: no saturation case, no fallback branch — the two
+properties the strided XLA decomposition could not give us.
 Oracle-tested against stable-argsort in tests/test_select_kernel.py
 (interpret mode on CPU; compiled + repeat-executed on TPU under
 FRCNN_TPU_TEST_TPU=1 — repeat execution is exactly where the backend
@@ -64,8 +61,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-C = 512          # lanes per block (compaction granularity)
-SPAN = C + 128   # one-hot width: block survivors + worst-case in-tile shift
+C = 512          # lanes per block (prefix-table granularity)
 INT_MIN = -2147483648  # python int: jnp scalars would be captured consts
 
 
@@ -113,55 +109,9 @@ def _thresh_kernel(keys_ref, meta_ref, ps_ref, pt_ref, *, k, n_blocks):
     pt = jax.lax.dot(gt_mat, ct, preferred_element_type=jnp.float32)
 
     mi = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-    meta_ref[:, :] = jnp.where(mi == 0, t, jnp.where(mi == 1, r, 0))
+    meta_ref[0] = jnp.where(mi == 0, t, jnp.where(mi == 1, r, 0))
     ps_ref[0] = ps.astype(jnp.int32)
     pt_ref[0] = pt.astype(jnp.int32)
-
-
-def _extract_kernel(keys_ref, meta_ref, ps_ref, pt_ref, lt_ref, out_ref, *,
-                    n_blocks):
-    t = meta_ref[0, 0]
-    r = meta_ref[0, 1]
-    out_ref[0] = jnp.zeros_like(out_ref[0])
-    col = jax.lax.broadcasted_iota(jnp.int32, (C, SPAN), 1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
-    r_f = r.astype(jnp.float32)
-
-    def block(g, carry):
-        kb = keys_ref[0, pl.ds(g, 1), :]                 # (1, C) i32
-        strict = kb > t
-        tie = kb == t
-        ps_g = ps_ref[0, g, 0]                           # scalars (SMEM)
-        pt_g = pt_ref[0, g, 0]
-        tie_f = tie.astype(jnp.float32)
-        # exclusive in-block tie count (counts <= C: f32-exact)
-        tie_ex = jax.lax.dot(tie_f, lt_ref[:, :],
-                             preferred_element_type=jnp.float32)  # (1, C)
-        sel = strict | (tie & (pt_g.astype(jnp.float32) + tie_ex < r_f))
-        sel_f = sel.astype(jnp.float32)
-        sel_ex = jax.lax.dot(sel_f, lt_ref[:, :],
-                             preferred_element_type=jnp.float32)  # (1, C)
-
-        base = ps_g + jnp.minimum(pt_g, r)               # global output slot
-        row0 = jax.lax.shift_right_logical(base, 7)      # 128-slot output row
-        shift = base - jax.lax.shift_left(row0, 7)
-        # one-hot: survivor at lane i -> output column sel_ex[i] + shift
-        pos = (sel_ex + shift.astype(jnp.float32)).astype(jnp.int32)
-        oh = ((pos.reshape(C, 1) == col) & sel.reshape(C, 1)
-              ).astype(jnp.float32)                      # (C, SPAN)
-        gidx = (g * C + lane + 1).astype(jnp.float32) * sel_f
-        comp = jax.lax.dot(gidx, oh,
-                           preferred_element_type=jnp.float32)  # (1, SPAN)
-        # aligned minor-split to (SPAN/128, 128) rows, then one merged store
-        # at a dynamic SUBLANE offset (the Mosaic-friendly form; cf. the
-        # roi_align kernel's minor-split shape-casts)
-        comp_i = comp.astype(jnp.int32).reshape(SPAN // 128, 128)
-        cur = out_ref[0, pl.ds(row0, SPAN // 128), :]
-        out_ref[0, pl.ds(row0, SPAN // 128), :] = jnp.where(
-            comp_i != 0, comp_i, cur)
-        return carry
-
-    jax.lax.fori_loop(0, n_blocks, block, 0)
 
 
 @partial(jax.jit, static_argnames=("k", "interpret"))
@@ -176,45 +126,46 @@ def _topk_threshold_padded(keys, k: int, interpret: bool = False):
         in_specs=[pl.BlockSpec((1, nb, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=[
-            pl.BlockSpec((1, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nb, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, 8), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, 8), jnp.int32),
             jax.ShapeDtypeStruct((b, nb, 1), jnp.int32),
             jax.ShapeDtypeStruct((b, nb, 1), jnp.int32),
         ],
         interpret=interpret,
     )(keys)
 
-    # extract: the out rows hold index+1 packed at slots [0, k); the slack
-    # tail (never written or written by trailing-block padding) stays 0
-    out_rows = -(-(k + SPAN + 128) // 128)
-    lt_c = (jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-            < jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
-            ).astype(jnp.float32)
-    packed = pl.pallas_call(
-        partial(_extract_kernel, n_blocks=nb),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, nb, C), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nb, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, nb, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((C, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, out_rows, 128), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, out_rows, 128), jnp.int32),
-        interpret=interpret,
-    )(keys, meta, ps, pt, lt_c)
-    return packed.reshape(b, out_rows * 128)[:, :k] - 1
+    # ---- stage 2: wide-vector extraction (pure XLA) ----
+    t = meta[:, 0, 0][:, None, None]                       # (B, 1, 1)
+    r = meta[:, 0, 1][:, None]                             # (B, 1)
+    ps = ps[:, :, 0]                                       # (B, nB)
+    pt = pt[:, :, 0]
+    strict = keys > t                                      # (B, nB, C)
+    tie = keys == t
+    tie_i = tie.astype(jnp.int32)
+    tie_ex = jnp.cumsum(tie_i, axis=-1) - tie_i            # exclusive
+    sel = strict | (tie & (pt[:, :, None] + tie_ex < r[:, :, None]))
+    sel_i = sel.astype(jnp.int32)
+    sel_ex = jnp.cumsum(sel_i, axis=-1) - sel_i            # (B, nB, C)
+
+    base = ps + jnp.minimum(pt, r)                         # (B, nB) nondecr.
+    j = jnp.arange(k, dtype=jnp.int32)[None, :]            # (1, k)
+    # owner block: last g with base[g] <= j (dense compare-count)
+    g = jnp.sum((base[:, None, :] <= j[:, :, None]).astype(jnp.int32),
+                axis=-1) - 1                               # (B, k)
+    rank = j - jnp.take_along_axis(base, g, axis=1)        # (B, k)
+    cum_rows = jnp.take_along_axis(sel_ex, g[:, :, None], axis=1)  # (B,k,C)
+    sel_rows = jnp.take_along_axis(sel_i, g[:, :, None], axis=1)
+    hit = (cum_rows == rank[:, :, None]) & (sel_rows > 0)  # one lane per slot
+    lane = jnp.sum(jnp.where(
+        hit, jax.lax.broadcasted_iota(jnp.int32, hit.shape, 2), 0), axis=-1)
+    return g * C + lane
 
 
 def topk_threshold(scores, k: int, interpret: bool = False):
