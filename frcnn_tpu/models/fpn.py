@@ -79,8 +79,14 @@ def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int,
             from frcnn_tpu.ops.pallas.select_kernel import topk_threshold
 
             tv, ti = topk_threshold(lvl, k)        # exact set, index-asc
-            neg, idx = jax.lax.sort((-tv, ti), dimension=-1, num_keys=2)
-            sc = -neg                              # lax.top_k order exactly
+            # re-rank the k winners with one SMALL top_k: on an index-
+            # ascending array its position tie-break IS the original
+            # lowest-index rule, so the order is bit-identical to
+            # lax.top_k(lvl, k) — and a single-key k-row top_k measured
+            # ~3x cheaper than the (-score, index) two-key lax.sort that
+            # erased the kernel's win (PROFILE_r04 §6 first attempt)
+            sc, pos = jax.lax.top_k(tv, k)
+            idx = jnp.take_along_axis(ti, pos, axis=1)
         else:
             # plain XLA TopK (ops/select.topk_strided measured faster still
             # but the axon backend mis-executes its strided graphs —

@@ -85,8 +85,11 @@ def proposal_layer_batch(scores, deltas, anchors, im_info, *, pre_nms_top_n: int
         from frcnn_tpu.ops.pallas.select_kernel import topk_threshold
 
         tv, ti = topk_threshold(scores, pre_n)             # exact set
-        neg, top_idx = jax.lax.sort((-tv, ti), dimension=-1, num_keys=2)
-        top_scores = -neg                                  # lax.top_k order
+        # small single-key top_k re-rank: position tie-break on the index-
+        # ascending tv = the lowest-index rule — bit-identical to
+        # lax.top_k(scores, pre_n) at ~1/3 the two-key pair-sort cost
+        top_scores, pos = jax.lax.top_k(tv, pre_n)
+        top_idx = jnp.take_along_axis(ti, pos, axis=1)
     else:
         top_scores, top_idx = jax.lax.top_k(scores, pre_n)  # (B, pre_n)
     top_boxes = jnp.take_along_axis(proposals, top_idx[..., None], axis=1)

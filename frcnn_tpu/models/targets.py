@@ -67,8 +67,10 @@ def _subsample_idx(mask, max_quota: int, quota, key, use_threshold=False):
         from frcnn_tpu.ops.pallas.select_kernel import topk_threshold
 
         tv, ti = topk_threshold(pri[None], max_quota)
-        neg, idx = jax.lax.sort((-tv[0], ti[0]), dimension=-1, num_keys=2)
-        vals = -neg
+        # small top_k re-rank (position tie-break on the index-ascending
+        # row = the lowest-index rule): slots bit-identical to lax.top_k
+        vals, pos = jax.lax.top_k(tv[0], max_quota)
+        idx = jnp.take(ti[0], pos)
     else:
         vals, idx = jax.lax.top_k(pri, max_quota)
     take = (jnp.arange(max_quota) < quota) & (vals > 0.0)

@@ -197,6 +197,43 @@ def _bwd_kernel(rois_ref, g_ref, dfeat_ref, dfx_ref, *, p, sr, scale, h, w):
         dfeat_ref[0, :, :, :] = dfx.transpose(1, 0, 2).astype(dfeat_ref.dtype)
 
 
+def _xfirst_tile_out(rois, sel, fx, h, w, cb, *, p, sr, scale, rt):
+    """The x-first pooled tile for one level: (RT, p, p, CB) f32, rows whose
+    sel is False zeroed.  fx: the level's x-major (W, HP*CB) scratch view.
+    Shared verbatim by the per-level and the merged multilevel kernels so
+    their outputs are bit-identical."""
+    hp = _hp(h)
+    prec = _precision(fx.dtype)
+    ay = _tile_matrices(rois, 1, 3, h, p, sr, scale, fx.dtype)
+    ax = _tile_matrices(rois, 0, 2, w, p, sr, scale, fx.dtype)
+    g = jnp.dot(ax.transpose(1, 0, 2).reshape(p * rt, w), fx,
+                preferred_element_type=jnp.float32, precision=prec)
+    g = g.astype(fx.dtype)
+    slabs = [g[px * rt:(px + 1) * rt, :].reshape(rt * hp, cb)
+             for px in range(p)]
+    g2 = jnp.concatenate(slabs, axis=1)
+    ayp = jnp.pad(ay, ((0, 0), (0, 8 - p % 8 if p % 8 else 0),
+                       (0, hp - h)))
+    pp = ayp.shape[1]
+    ay_f = ayp.reshape(rt * pp, hp)
+    row_r = jax.lax.broadcasted_iota(jnp.int32, (rt * pp, rt * hp), 0) // pp
+    lane_r = jax.lax.broadcasted_iota(jnp.int32, (rt * pp, rt * hp), 1) // hp
+    aybd = jnp.where(row_r == lane_r,
+                     jnp.tile(ay_f, (1, rt)), 0).astype(ay.dtype)
+    out = jnp.dot(aybd, g2, preferred_element_type=jnp.float32,
+                  precision=prec)
+    out = out.reshape(rt, pp, p, cb)[:, :p]
+    return jnp.where(sel[:, None, None, None], out, 0.0)
+
+
+def _fill_fx(feat_ref, fx_ref, h, w, cb):
+    """Fill a level's x-major (W, HP*CB) scratch from its natural-layout
+    feature block (once per channel block — rti is the inner grid dim)."""
+    ft = feat_ref[0, :, :, :].transpose(1, 0, 2)
+    ft = jnp.pad(ft, ((0, 0), (0, _hp(h) - h), (0, 0)))
+    fx_ref[:, :] = ft.reshape(w, _hp(h) * cb)
+
+
 def _fwd_kernel_lv(rois_ref, lv_ref, feat_ref, out_ref, fx_ref, *,
                    p, sr, scale, h, w, level, rt):
     """Level-gated forward: rows whose lv != level write 0, and a tile with
@@ -204,45 +241,59 @@ def _fwd_kernel_lv(rois_ref, lv_ref, feat_ref, out_ref, fx_ref, *,
     level, so per level only ~contiguous-run tiles are active).  Otherwise
     identical to _fwd_kernel."""
     cb = feat_ref.shape[-1]
-    hp = _hp(h)
-    prec = _precision(fx_ref.dtype)
     sel = lv_ref[:, 0] == level                          # (RT,)
     active = jnp.any(sel)
 
     @pl.when(pl.program_id(1) == 0)
     def _():
-        ft = feat_ref[0, :, :, :].transpose(1, 0, 2)
-        ft = jnp.pad(ft, ((0, 0), (0, hp - h), (0, 0)))
-        fx_ref[:, :] = ft.reshape(w, hp * cb)
+        _fill_fx(feat_ref, fx_ref, h, w, cb)
 
     @pl.when(active)
     def _():
-        rois = rois_ref[:, :]
-        ay = _tile_matrices(rois, 1, 3, h, p, sr, scale, fx_ref.dtype)
-        ax = _tile_matrices(rois, 0, 2, w, p, sr, scale, fx_ref.dtype)
-        g = jnp.dot(ax.transpose(1, 0, 2).reshape(p * rt, w), fx_ref[:, :],
-                    preferred_element_type=jnp.float32, precision=prec)
-        g = g.astype(fx_ref.dtype)
-        slabs = [g[px * rt:(px + 1) * rt, :].reshape(rt * hp, cb)
-                 for px in range(p)]
-        g2 = jnp.concatenate(slabs, axis=1)
-        ayp = jnp.pad(ay, ((0, 0), (0, 8 - p % 8 if p % 8 else 0),
-                           (0, hp - h)))
-        pp = ayp.shape[1]
-        ay_f = ayp.reshape(rt * pp, hp)
-        row_r = jax.lax.broadcasted_iota(jnp.int32, (rt * pp, rt * hp), 0) // pp
-        lane_r = jax.lax.broadcasted_iota(jnp.int32, (rt * pp, rt * hp), 1) // hp
-        aybd = jnp.where(row_r == lane_r,
-                         jnp.tile(ay_f, (1, rt)), 0).astype(ay.dtype)
-        out = jnp.dot(aybd, g2, preferred_element_type=jnp.float32,
-                      precision=prec)
-        out = out.reshape(rt, pp, p, cb)[:, :p]
-        out = jnp.where(sel[:, None, None, None], out, 0.0)
+        out = _xfirst_tile_out(rois_ref[:, :], sel, fx_ref[:, :], h, w, cb,
+                               p=p, sr=sr, scale=scale, rt=rt)
         out_ref[:, :, :, :] = out.astype(out_ref.dtype)
 
     @pl.when(jnp.logical_not(active))
     def _():
         out_ref[:, :, :, :] = jnp.zeros_like(out_ref)
+
+
+def _fwd_kernel_ml(rois_ref, lv_ref, *refs, p, sr, levels, hws, scales, rt):
+    """Merged x-first forward over several pyramid levels in ONE launch.
+
+    refs order: n feature blocks, the shared out block, n fx scratches.
+    Each grid step initializes its out tile once and lets every ACTIVE
+    level's branch accumulate its rows (row supports are disjoint — each
+    roi belongs to one level).  Replaces n separate launches whose
+    inactive roi tiles still paid a grid step each: at the 800x1216 detect
+    shape that is 3x(2 cb x 19 tiles x 8 images) steps folded into
+    1x(2 x 19 x 8) (PROFILE_r04 §7).  Per-level math is _xfirst_tile_out —
+    bit-identical to the per-level kernels."""
+    n = len(levels)
+    feat_refs = refs[:n]
+    out_ref = refs[n]
+    fx_refs = refs[n + 1:]
+    lv = lv_ref[:, 0]
+    rois = rois_ref[:, :]
+    out_ref[:, :, :, :] = jnp.zeros_like(out_ref)
+
+    for i in range(n):
+        h, w = hws[i]
+        cb = feat_refs[i].shape[-1]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _(i=i, h=h, w=w, cb=cb):
+            _fill_fx(feat_refs[i], fx_refs[i], h, w, cb)
+
+        sel = lv == levels[i]
+
+        @pl.when(jnp.any(sel))
+        def _(i=i, h=h, w=w, cb=cb, sel=sel):
+            out = _xfirst_tile_out(rois, sel, fx_refs[i][:, :], h, w, cb,
+                                   p=p, sr=sr, scale=scales[i], rt=rt)
+            out_ref[:, :, :, :] = (out_ref[:, :, :, :]
+                                   + out.astype(out_ref.dtype))
 
 
 def _bwd_kernel_lv(rois_ref, lv_ref, g_ref, dfeat_ref, dfx_ref, *,
@@ -512,6 +563,59 @@ def roi_align_level_fwd(feat, rois, roi_levels, level: int, p: int,
     )(rois_p, lv_p[:, None], feat[None])
     if yfirst:
         out = out.swapaxes(1, 2)     # kernel emits (r, px, py, cb)
+    return out[:r_orig]
+
+
+def merged_tail_fits(hw_list, c: int, rt: int, p: int = 7) -> bool:
+    """VMEM model for _fwd_kernel_ml: every merged level's feature block and
+    fx scratch is live simultaneously; the per-branch transients are scoped,
+    so only the largest level's count.  Same 2.45x Mosaic scoped-stack
+    factor as level_fits_vmem."""
+    cb = min(LEVEL_CHAN_BLOCK, c)
+    naive = sum(_hp(h) * w * cb * (2 + 2 + 2) for h, w in hw_list)
+    trans = max(p * rt * _hp(h) * cb * (4 + 2 + 2)
+                + rt * 8 * rt * _hp(h) * 2 for h, w in hw_list)
+    return (naive + trans) * 2.45 < 120 * 1024 * 1024
+
+
+def roi_align_levels_fwd_merged(feats, rois, roi_levels, level_ids, p: int,
+                                scales, sr: int, roi_tile: int,
+                                interpret: bool = False):
+    """Forward RoIAlign of `rois` against SEVERAL x-first pyramid levels in
+    one launch (see _fwd_kernel_ml).  feats: list of (H_l, W_l, C) maps;
+    level_ids: the lv value owning each feats entry; rows whose lv is not
+    in level_ids come back zero.  Returns (R, p, p, C)."""
+    c = feats[0].shape[-1]
+    rois_p, lv_p, r_orig = _pad_rois_lv(rois, roi_levels, roi_tile)
+    rt_n = rois_p.shape[0] // roi_tile
+    cbl = _chan_block(c, LEVEL_CHAN_BLOCK)
+    hws = tuple((f.shape[0], f.shape[1]) for f in feats)
+    kernel = functools.partial(_fwd_kernel_ml, p=p, sr=sr,
+                               levels=tuple(level_ids), hws=hws,
+                               scales=tuple(scales), rt=roi_tile)
+    dtype = feats[0].dtype
+    out = pl.pallas_call(
+        kernel,
+        grid=(c // cbl, rt_n),
+        in_specs=[
+            pl.BlockSpec((roi_tile, 4), lambda cb, rti: (rti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((roi_tile, 1), lambda cb, rti: (rti, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec((1, h, w, cbl), lambda cb, rti: (0, 0, 0, cb),
+                         memory_space=pltpu.VMEM)
+            for h, w in hws
+        ],
+        out_specs=pl.BlockSpec((roi_tile, p, p, cbl),
+                               lambda cb, rti: (rti, 0, 0, cb),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rois_p.shape[0], p, p, c), dtype),
+        scratch_shapes=[pltpu.VMEM((w, _hp(h) * cbl), dtype) for h, w in hws],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=126 * 1024 * 1024),
+        interpret=interpret,
+    )(rois_p, lv_p[:, None], *[f[None] for f in feats])
     return out[:r_orig]
 
 

@@ -578,24 +578,55 @@ def _ml_pallas_vjp(feats, rois, levels, strides, output_size, sampling_ratio,
                                sampling_ratio, interpret)
 
 
+MERGED_LEVEL_FWD = True  # kill switch for the merged tail-levels launch
+
+
 def _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret):
-    from frcnn_tpu.ops.pallas.roi_align_kernel import roi_align_level_fwd
+    from frcnn_tpu.ops.pallas.roi_align_kernel import (
+        merged_tail_fits, roi_align_level_fwd, roi_align_levels_fwd_merged)
 
     order = jnp.argsort(levels)                  # stable → bwd re-derives it
     inv = jnp.argsort(order)
     rois_s = jnp.take(rois, order, axis=0)
     lv_s = jnp.take(levels, order, axis=0)
-    out = None
-    for li, (f, s) in enumerate(zip(feats, strides)):
-        params = _level_roi_tile(*f.shape)
-        assert params is not None, (
+    params = []
+    for f in feats:
+        prm = _level_roi_tile(*f.shape)
+        assert prm is not None, (
             f"level {f.shape} exceeds the VMEM model — gate callers with "
             "multilevel_pallas_fits")
-        rt, _, variant = params
+        params.append(prm)
+
+    # Merge the x-first TAIL levels (all but the largest) into one launch:
+    # per-level launches pay a grid step for every roi tile whether or not
+    # the tile holds that level's rois — at the 800x1216 detect shape 60%
+    # of all pool grid steps were those inactive visits (PROFILE_r04 §7).
+    # The largest level stays on its own launch (its preferred variant may
+    # be y-first, and VMEM cannot hold every level's scratch beside it).
+    tail = list(range(1, len(feats)))
+    c = feats[0].shape[-1]
+    merged = []
+    if MERGED_LEVEL_FWD and len(tail) >= 2 and all(
+            params[li][2] == "xfirst" for li in tail):
+        rt_m = min(params[li][0] for li in tail)
+        if merged_tail_fits([f.shape[:2] for li in tail
+                             for f in [feats[li]]], c, rt_m):
+            merged = tail
+    out = None
+    for li, (f, s) in enumerate(zip(feats, strides)):
+        if li in merged:
+            continue
+        rt, _, variant = params[li]
         o = roi_align_level_fwd(f, rois_s, lv_s, li, p, 1.0 / s, sr,
                                 roi_tile=rt, variant=variant,
                                 interpret=interpret)
         out = o if out is None else out + o      # disjoint row supports
+    if merged:
+        o = roi_align_levels_fwd_merged(
+            [feats[li] for li in merged], rois_s, lv_s, merged, p,
+            [1.0 / strides[li] for li in merged], sr, rt_m,
+            interpret=interpret)
+        out = o if out is None else out + o
     return jnp.take(out, inv, axis=0)
 
 

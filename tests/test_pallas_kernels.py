@@ -365,3 +365,30 @@ def test_multilevel_gather_on_device(rng):
         denom = float(np.sqrt((a * a).sum() * (b * b).sum())) or 1.0
         corr = float((a * b).sum()) / denom
         assert corr > 0.999, corr
+
+
+def test_multilevel_merged_bit_identical_to_per_level(rng, monkeypatch):
+    """The merged tail-levels launch (roi_align_kernel._fwd_kernel_ml) must
+    be BIT-identical to the per-level launches it replaces (both run
+    _xfirst_tile_out; only the launch structure differs)."""
+    import sys
+
+    ra = sys.modules["frcnn_tpu.ops.roi_align"]  # the ops package re-exports
+    # the roi_align FUNCTION under the same name, shadowing the module
+
+    strides = [4, 8, 16, 32]
+    hw = [(32, 48), (16, 24), (8, 12), (4, 6)]
+    c, r = 128, 37
+    feats = [jnp.asarray(rng.randn(h, w, c).astype(np.float32)) for h, w in hw]
+    rois = jnp.asarray(random_boxes(rng, r, width=190, height=120, min_size=4))
+    levels = jnp.asarray(rng.randint(0, 4, r).astype(np.int32))
+
+    def run():
+        return ra.roi_align_multilevel_pallas(feats, rois, levels, strides,
+                                              interpret=INTERPRET)
+
+    monkeypatch.setattr(ra, "MERGED_LEVEL_FWD", True)
+    merged = run()
+    monkeypatch.setattr(ra, "MERGED_LEVEL_FWD", False)
+    per_level = run()
+    np.testing.assert_array_equal(np.asarray(merged), np.asarray(per_level))
