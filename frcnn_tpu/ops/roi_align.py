@@ -578,7 +578,13 @@ def _ml_pallas_vjp(feats, rois, levels, strides, output_size, sampling_ratio,
                                sampling_ratio, interpret)
 
 
-MERGED_LEVEL_FWD = True  # kill switch for the merged tail-levels launch
+# Merged tail-levels launch: OFF by default.  Same-process A/B at the
+# 800x1216 B8 detect shape measured it NEUTRAL (-0.6%, inside noise) —
+# the inactive-tile grid steps it removes were already effectively free
+# (PROFILE_r04 §7a), so production keeps the longer-proven per-level
+# launches.  The kernel + bit-parity test stay (the merged form may win
+# at higher roi counts / more levels).
+MERGED_LEVEL_FWD = False
 
 
 def _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret):
