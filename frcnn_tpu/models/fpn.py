@@ -37,7 +37,9 @@ from frcnn_tpu.ops.roi_align import (multilevel_pallas_fits,
                                      roi_align_multilevel_pallas)
 
 
-THRESHOLD_SELECT_MIN_S = 16384  # below this lax.top_k beats the 2-launch kernel
+# single definition in select_kernel.py (below MIN_S lax.top_k beats the
+# 2-launch kernel); module binding kept so tests monkeypatch per site
+from frcnn_tpu.ops.pallas.select_kernel import THRESHOLD_SELECT_MIN_S
 
 
 def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int,

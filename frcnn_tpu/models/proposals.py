@@ -16,7 +16,9 @@ import jax.numpy as jnp
 from frcnn_tpu.ops.boxes import bbox_transform_inv, clip_boxes
 from frcnn_tpu.ops.nms import nms_fixed, nms_fixed_batched, NEG_INF
 
-THRESHOLD_SELECT_MIN_S = 16384  # same gate as models/fpn.py and targets.py
+# single definition in select_kernel.py; module binding kept so tests
+# monkeypatch per site
+from frcnn_tpu.ops.pallas.select_kernel import THRESHOLD_SELECT_MIN_S
 
 
 def _anchor_validity(anchors, im_info):
@@ -67,13 +69,16 @@ def proposal_layer_batch(scores, deltas, anchors, im_info, *, pre_nms_top_n: int
     ONE Pallas launch (see ops.nms.nms_fixed_batched).
 
     use_threshold (TPU + cfg.TPU.THRESHOLD_SELECT): the pre-NMS top-k runs
-    as the exact threshold Pallas kernel + a (-score, index) pair-sort of
-    the pre_n winners — XLA TopK costs ~a full K-row sort here (C4 at
-    800×1216: K=34200 → ~1.5 ms of the 4.2 ms RPN stage, PROFILE_r02 §2)
-    while the pair re-sort touches only pre_n rows.  Bit-identical output
-    incl. the NEG_INF-tie order of masked padding anchors; gated to a ≥3x
-    shrink (the C4 train shape 12000-of-21888 would pay more in the
-    re-sort than the kernel saves)."""
+    as the exact threshold Pallas kernel + a small single-key
+    ``lax.top_k`` re-rank of the pre_n winners (position tie-break on the
+    kernel's index-ascending row = the lowest-index rule; a two-key
+    pair-sort measured ~3x the cost and erased the win — PROFILE_r04 §6).
+    XLA TopK costs ~a full K-row sort here (C4 at 800×1216: K=34200 →
+    ~1.5 ms of the 4.2 ms RPN stage, PROFILE_r02 §2) while the re-rank
+    touches only pre_n rows.  Bit-identical output incl. the NEG_INF-tie
+    order of masked padding anchors; gated to a ≥3x shrink (the C4 train
+    shape 12000-of-21888 would pay more in the re-rank than the kernel
+    saves)."""
     b, k = scores.shape
     proposals = bbox_transform_inv(anchors, deltas)        # (B, K, 4)
     proposals = clip_boxes(proposals, im_info[:, :2])

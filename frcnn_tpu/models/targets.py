@@ -42,7 +42,9 @@ def _rank_by_random_priority(mask, key):
     return jnp.where(mask, rank, n)
 
 
-THRESHOLD_SELECT_MIN_S = 16384  # same gate as models/fpn.py
+# single definition in select_kernel.py; module-level binding kept so tests
+# can monkeypatch this site's gate independently
+from frcnn_tpu.ops.pallas.select_kernel import THRESHOLD_SELECT_MIN_S
 
 
 def _subsample_idx(mask, max_quota: int, quota, key, use_threshold=False):
@@ -56,8 +58,10 @@ def _subsample_idx(mask, max_quota: int, quota, key, use_threshold=False):
     callers): select via the exact threshold Pallas kernel — XLA TopK costs
     ~a full row sort regardless of k on this backend (scripts/probe_topk.py)
     and the priorities here are a 155k row at FPN scale, twice per image.
-    The (-value, index) pair-sort of the k winners restores lax.top_k's
-    exact order, so the sampled SLOTS (not just the set) are bit-identical.
+    A small single-key ``lax.top_k`` re-rank of the k winners (position
+    tie-break on the kernel's index-ascending row = the lowest-index rule)
+    restores lax.top_k's exact order, so the sampled SLOTS (not just the
+    set) are bit-identical.
     (ops/select.topk_strided was the earlier, XLA-level attempt; the axon
     backend mis-executes its strided graphs — PROFILE_r04 §2.)"""
     n = mask.shape[0]
@@ -183,11 +187,18 @@ def anchor_target_layer(anchors, gt_boxes, gt_valid, im_info, key, cfg) -> Ancho
     # fetch is a one-hot matmul, not a gather: (K,) indices into a tiny
     # (G, 4) table lower to a 5.2 ms row gather on TPU at FPN's 155k-anchor
     # scale, while (K, G) one-hot @ (G, 4) runs on the MXU in 0.08 ms
-    # (scripts/probe_anchor_target.py --parts).  Exact: each row sums one
-    # 1.0-weighted gt row and G-1 zeros.
+    # (scripts/probe_anchor_target.py --parts).  Precision.HIGHEST is
+    # MANDATORY for exactness: this is data movement (each row sums one
+    # 1.0-weighted gt row and G-1 zeros), and default MXU precision
+    # truncates the gt coordinates to bf16 — measured up to 3.8 px error
+    # per gathered coordinate on chip (round-4 VERDICT Weak #2).  The
+    # reference gathers gt rows exactly
+    # (lib/layer_utils/anchor_target_layer.py:~L120-L150 _compute_targets).
+    # See docs/ARCHITECTURE.md "Matmul precision policy".
     one_hot = (argmax_overlaps[:, None]
                == jnp.arange(gt_boxes.shape[0])[None, :])
-    matched_gt = one_hot.astype(gt_boxes.dtype) @ gt_boxes
+    matched_gt = jnp.matmul(one_hot.astype(gt_boxes.dtype), gt_boxes,
+                            precision=jax.lax.Precision.HIGHEST)
     targets = bbox_transform(anchors, matched_gt)
     targets = jnp.where((labels == 1)[:, None], targets, 0.0)
 
@@ -259,10 +270,13 @@ def anchor_target_compact(anchors, gt_boxes, gt_valid, im_info, key,
     labels = jnp.where(valid, jnp.where(is_fg_slot, 1, 0), -1)
 
     # regression targets toward each selected anchor's argmax gt (tiny
-    # (S, G) one-hot matmul — the dense layer needs (K, G))
+    # (S, G) one-hot matmul — the dense layer needs (K, G)).  HIGHEST for
+    # the same reason as the dense layer above: exact gt-row movement, not
+    # model math (default MXU precision rounds coords to bf16 on chip).
     one_hot = (argmax_overlaps[sel][:, None]
                == jnp.arange(gt_boxes.shape[0])[None, :])
-    matched_gt = one_hot.astype(gt_boxes.dtype) @ gt_boxes
+    matched_gt = jnp.matmul(one_hot.astype(gt_boxes.dtype), gt_boxes,
+                            precision=jax.lax.Precision.HIGHEST)
     targets = bbox_transform(anchors[sel], matched_gt)
     fg_rows = (labels == 1)[:, None]
     targets = jnp.where(fg_rows, targets, 0.0)

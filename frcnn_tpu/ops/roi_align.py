@@ -616,7 +616,7 @@ def _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret):
             params[li][2] == "xfirst" for li in tail):
         rt_m = min(params[li][0] for li in tail)
         if merged_tail_fits([f.shape[:2] for li in tail
-                             for f in [feats[li]]], c, rt_m):
+                             for f in [feats[li]]], c, rt_m, p=p):
             merged = tail
     out = None
     for li, (f, s) in enumerate(zip(feats, strides)):

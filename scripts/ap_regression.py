@@ -21,7 +21,8 @@ Exit code 0 = pass, 1 = AP below floor.  ~12 min on one v5e chip.
 With --json-out PATH the result is also written as a durable artifact
 (VERDICT r3 Weak #6: make the quality claim as round-comparable as
 BENCH_r*.json): {mean_ap, per_class, iters, floor, pass, net, seconds,
-s_per_iter}.  Written on failure too, with "pass": false.
+s_per_iter_incl_compile, s_per_iter_steady}.  Written on failure too,
+with "pass": false.
 
 Usage: python scripts/ap_regression.py [--iters 1500] [--floor 0.75]
        [--root /tmp/ap_regression] [--json-out AP_r04.json]
@@ -94,8 +95,25 @@ def main():
     state = train_net(model, ds, roidb, None, out_dir, cfg=cfg,
                       max_iters=args.iters)
     t_train = time.time() - t0
+    # Split compile amortization from steady-state (round-4 VERDICT Weak #6:
+    # wall/iters conflated ~0.87 s/iter with the 0.397 steady-state record).
+    # train_log.jsonl carries a timestamp every DISPLAY iters; the slope
+    # from the second logged point onward excludes the initial compiles.
+    s_steady = None
+    try:
+        with open(osp.join(out_dir, "train_log.jsonl")) as f:
+            pts = [json.loads(line) for line in f]
+        pts = [(p["iter"], p["ts"]) for p in pts
+               if "iter" in p and p["iter"] <= args.iters]
+        pts = sorted(pts)[-max(2, len(pts) - 1):]   # drop the compile window
+        if len(pts) >= 2 and pts[-1][0] > pts[0][0]:
+            s_steady = (pts[-1][1] - pts[0][1]) / (pts[-1][0] - pts[0][0])
+    except (OSError, ValueError, KeyError):
+        pass
     print(f"trained {args.iters} iters in {t_train:.0f}s "
-          f"({t_train / args.iters:.3f} s/iter)")
+          f"({t_train / args.iters:.3f} s/iter incl. compile"
+          + (f"; steady-state {s_steady:.3f} s/iter" if s_steady else "")
+          + ")")
 
     dst = pascal_voc("test", "2007",
                      devkit_path=osp.join(args.root, "VOCdevkit2007"),
@@ -120,7 +138,9 @@ def main():
                               if k in present and np.isfinite(v)},
                 "iters": args.iters, "floor": args.floor, "pass": ok,
                 "net": args.net, "seconds": round(t_train, 1),
-                "s_per_iter": round(t_train / args.iters, 4),
+                "s_per_iter_incl_compile": round(t_train / args.iters, 4),
+                "s_per_iter_steady": (round(s_steady, 4) if s_steady
+                                      else None),
                 "backend": _backend(),
             }, f, indent=1)
             f.write("\n")

@@ -95,6 +95,58 @@ def vmapped_sampler_check():
     return ok
 
 
+def dense_regimes():
+    """Adversarial DENSE-block parity (round-5 addition).  The round-4
+    on-chip bug (wrong top-k sets whenever any 512-lane block held > 256
+    selected elements — bf16-truncated prefix dots) was invisible to the
+    i.i.d. uniform/sigmoid inputs above (~9 selected/block).  These cases
+    push per-block survivor counts past 256 and straddle the 256 boundary;
+    all were verified failing at default MXU precision and exact with
+    Precision.HIGHEST on the prefix dots."""
+    rng = np.random.RandomState(7)
+    ok = True
+    cases = []
+
+    # (a) clustered high-score run WIDER than k: contiguous 4000-wide run
+    # of near-1 scores in a (8, 116736) sigmoid row, k=2000 — every block
+    # in the run is fully selected (512/block).
+    x = (1.0 / (1.0 + np.exp(-rng.randn(8, 116736)))).astype(np.float32)
+    x[:, 30000:34000] += 2.0
+    cases.append((x, 2000, "dense: clustered run 4000 > k=2000"))
+
+    # (b) clustered run SMALLER than k (1000-wide, k=2000): run blocks are
+    # dense, the remaining 1000 winners scatter — mixes dense and sparse
+    # blocks in one row (the judge's 772/16000-wrong repro regime).
+    x = (1.0 / (1.0 + np.exp(-rng.randn(8, 116736)))).astype(np.float32)
+    x[:, 50000:51000] += 2.0
+    cases.append((x, 2000, "dense: clustered run 1000 < k=2000"))
+
+    # (c) per-block counts straddling 256: alternating half-dense blocks
+    # (lanes 0..287 boosted -> 288 survivors/block in even blocks).
+    x = rng.rand(4, 65536).astype(np.float32)
+    xb = x.reshape(4, 128, 512)
+    xb[:, ::2, :288] += 2.0
+    cases.append((xb.reshape(4, 65536), 8192, "dense: 288/block straddle"))
+
+    # (d) k == s: every element selected, every block fully dense.
+    x = rng.rand(2, 8192).astype(np.float32)
+    cases.append((x, 8192, "dense: k == s == 8192"))
+
+    # (e) uniform large-k: k=60000 of 116736 (~263 selected/block average,
+    # straddling 256 everywhere; judge repro: 427k/480k wrong at default).
+    x = rng.rand(8, 116736).astype(np.float32)
+    cases.append((x, 60000, "dense: uniform k=60000"))
+
+    for x, k, tag in cases:
+        v, i = jax.jit(lambda a, kk=k: topk_threshold(a, kk))(jnp.asarray(x))
+        rv, ri = np_oracle(x, k)
+        good = (np.asarray(v) == rv).all() and (np.asarray(i) == ri).all()
+        bad = int((np.asarray(i) != ri).sum())
+        print(f"  {tag}: {'exact' if good else f'MISMATCH ({bad} idx cells)'}")
+        ok &= good
+    return ok
+
+
 def main():
     print(f"backend={jax.default_backend()}")
     shapes = [((8, 116736), 2000, "train-L2 (8,116736) k=2000"),
@@ -102,6 +154,7 @@ def main():
     allok = True
     for shape, k, tag in shapes:
         allok &= parity(shape, k, 3, tag)
+    allok &= dense_regimes()
     # interleaved re-execution of both compiled programs
     for rep in range(2):
         for shape, k, tag in shapes:

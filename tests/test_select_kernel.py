@@ -85,6 +85,28 @@ def test_clustered_run():
     _check(x, 2000)
 
 
+def test_nan_sorts_largest_and_visible():
+    # NaN (any bit pattern, incl. negative NaN whose raw sortable key would
+    # collide with the INT_MIN padding key) maps to one key above +inf:
+    # selected FIRST, so a diverged run shows loud NaN values instead of a
+    # silently different selection (round-4 ADVICE #4).
+    rng = np.random.RandomState(8)
+    x = rng.rand(2, 2048).astype(np.float32)
+    x[0, 100] = np.nan
+    x[0, 200] = np.float32(np.frombuffer(
+        np.uint32(0xFFC00000).tobytes(), np.float32)[0])  # negative NaN
+    x[1, 5] = np.nan
+    vals, idx = topk_threshold(jnp.asarray(x), 50, interpret=INTERPRET)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    # the NaN positions are in the selected set, values visibly NaN
+    assert {100, 200} <= set(idx[0]) and 5 in set(idx[1])
+    assert np.isnan(vals[0]).sum() == 2 and np.isnan(vals[1]).sum() == 1
+    # non-NaN remainder of the selection = top-(k - #nan) of the finite rest
+    finite0 = np.sort(x[0][~np.isnan(x[0])])[::-1][:48]
+    got0 = np.sort(vals[0][~np.isnan(vals[0])])[::-1]
+    np.testing.assert_array_equal(got0, finite0)
+
+
 def test_sigmoid_like_production_shape():
     # FPN train L3 shape scaled down: sigmoid-distributed scores
     rng = np.random.RandomState(7)
