@@ -12,8 +12,13 @@ Checks, compiled on the real chip:
   1. the raw one-hot matmul pattern at the production scale
      (155k anchors × 64 gt) — max abs error vs an exact numpy gather;
   2. through the public layers: anchor_target_layer / anchor_target_compact
-     / proposal_target_layer bbox_targets vs the same layers run on CPU
-     (identical graph, exact there).
+     / proposal_target_layer bbox_targets vs the same layers run on CPU.
+     Criterion: <= 5e-4 absolute, NOT 0.0 — bbox_transform's log()/div
+     differ from CPU in the last ulp (backend transcendental
+     implementations), which is ~1e-4 in target units and a different
+     class from the 3.8 px gather truncation this probe guards against
+     (measured through-layer deltas: 1.0e-4 / 1.0e-4 / 2.9e-4; a bf16
+     gather regression would show as ~1e-2..1e0 here).
 
 Usage: python scripts/probe_gt_gather.py
 """
@@ -61,8 +66,9 @@ def through_layers():
         cfg, TPU=dataclasses.replace(cfg.TPU, USE_PALLAS=False,
                                      THRESHOLD_SELECT=False))
     rng = np.random.RandomState(1)
-    anchors = generate_anchors_pre(38, 57, 16, cfg.ANCHOR_RATIOS,
-                                   cfg.ANCHOR_SCALES)
+    anchors, _ = generate_anchors_pre(38, 57, 16,
+                                      ratios=tuple(cfg.ANCHOR_RATIOS),
+                                      scales=tuple(cfg.ANCHOR_SCALES))
     g = 48
     gt = np.sort((rng.rand(g, 2, 2) * np.array([608.0, 912.0])), axis=1)
     gt = gt.transpose(0, 2, 1).reshape(g, 4).astype(np.float32)
@@ -88,8 +94,9 @@ def through_layers():
         with jax.default_device(cpu):
             host = np.asarray(jax.jit(fn)(*jax.device_put(args, cpu)))
         err = np.abs(dev - host).max()
-        print(f"{name}: chip-vs-cpu bbox_targets max abs err {err}")
-        ok &= err == 0.0
+        print(f"{name}: chip-vs-cpu bbox_targets max abs err {err:.2e} "
+              f"(<= 5e-4: transcendental ulp only)")
+        ok &= err <= 5e-4
 
     rois = jnp.asarray((rng.rand(256, 4) * 600).astype(np.float32))
     rois = jnp.concatenate([jnp.minimum(rois[:, :2], rois[:, 2:]),
@@ -105,8 +112,9 @@ def through_layers():
     with jax.default_device(cpu):
         host = np.asarray(jax.jit(ptl)(*jax.device_put(args, cpu)))
     err = np.abs(dev - host).max()
-    print(f"proposal_target_layer: chip-vs-cpu bbox_targets max abs err {err}")
-    ok &= err == 0.0
+    print(f"proposal_target_layer: chip-vs-cpu bbox_targets max abs err "
+          f"{err:.2e} (<= 5e-4: transcendental ulp only)")
+    ok &= err <= 5e-4
     return ok
 
 
