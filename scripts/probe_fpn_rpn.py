@@ -128,6 +128,66 @@ class SliceFirst(nn.Module):
         return jnp.concatenate(probs, 1), jnp.concatenate(boxes, 1)
 
 
+class ProdDetect(nn.Module):
+    """EXACTLY the production detect-path head (fpn.py::_rpn_all_levels
+    after DCE): conv3x3 -> transposed d-einsum (B, A, HW) prob A-major +
+    cells matmul (B, HW, 4A).  (cls matmul is DCE'd on detect; the train
+    path adds one more tokens read.)  Round-5 addition for the in-situ
+    9.8 ms attribution."""
+
+    @nn.compact
+    def __call__(self, pyramid):
+        rpn = nn.Conv(256, (3, 3), padding="SAME", dtype=DT, name="rpn_net")
+        dw = self.param("dw", nn.initializers.normal(0.01), (C, A), DT)
+        db = self.param("db", nn.initializers.zeros, (A,), DT)
+        bw = self.param("bw", nn.initializers.normal(0.01), (C, A * 4), DT)
+        bb = self.param("bb", nn.initializers.zeros, (A * 4,), DT)
+        probs, cells = [], []
+        for f in pyramid:
+            b, h, w_, _ = f.shape
+            x = nn.relu(rpn(f))
+            tokens = x.reshape(b, h * w_, C)
+            d = jnp.einsum("bkc,ca->bak", tokens, dw,
+                           preferred_element_type=jnp.float32)
+            d = d + db.astype(jnp.float32)[:, None]
+            probs.append(jax.nn.sigmoid(d).reshape(b, A * h * w_))
+            cells.append(tokens @ bw + bb)
+        return [jnp.concatenate(probs, 1)] + cells
+
+
+class ConvPlusD(nn.Module):
+    """conv + the d-einsum prob only (no cells matmul)."""
+
+    @nn.compact
+    def __call__(self, pyramid):
+        rpn = nn.Conv(256, (3, 3), padding="SAME", dtype=DT, name="rpn_net")
+        dw = self.param("dw", nn.initializers.normal(0.01), (C, A), DT)
+        probs = []
+        for f in pyramid:
+            b, h, w_, _ = f.shape
+            x = nn.relu(rpn(f))
+            tokens = x.reshape(b, h * w_, C)
+            d = jnp.einsum("bkc,ca->bak", tokens, dw,
+                           preferred_element_type=jnp.float32)
+            probs.append(jax.nn.sigmoid(d).reshape(b, A * h * w_))
+        return [jnp.concatenate(probs, 1)]
+
+
+class ConvPlusCells(nn.Module):
+    """conv + the cells matmul only (no prob)."""
+
+    @nn.compact
+    def __call__(self, pyramid):
+        rpn = nn.Conv(256, (3, 3), padding="SAME", dtype=DT, name="rpn_net")
+        bw = self.param("bw", nn.initializers.normal(0.01), (C, A * 4), DT)
+        cells = []
+        for f in pyramid:
+            b, h, w_, _ = f.shape
+            x = nn.relu(rpn(f))
+            cells.append(x.reshape(b, h * w_, C) @ bw)
+        return cells
+
+
 def main():
     rng = np.random.RandomState(0)
     pyr = [jnp.asarray(rng.randn(B, h, w, C), DT) for h, w in LEVELS]
@@ -140,7 +200,10 @@ def main():
             ("C 3x3 only  ", ConvOnly(), True),
             ("D no-reshape", NoReshape(), True),
             ("E token mm  ", TokenMatmul(), False),
-            ("F slice-1st ", SliceFirst(), False)):
+            ("F slice-1st ", SliceFirst(), False),
+            ("P prod-det  ", ProdDetect(), True),
+            ("Pd conv+d   ", ConvPlusD(), True),
+            ("Pc conv+cell", ConvPlusCells(), True)):
         v = mod.init(jax.random.PRNGKey(0), pyr)
 
         def fn(*ps):
