@@ -37,9 +37,10 @@ from frcnn_tpu.ops.roi_align import (multilevel_pallas_fits,
                                      roi_align_multilevel_pallas)
 
 
-# single definition in select_kernel.py (below MIN_S lax.top_k beats the
-# 2-launch kernel); module binding kept so tests monkeypatch per site
-from frcnn_tpu.ops.pallas.select_kernel import THRESHOLD_SELECT_MIN_S
+# single definition in select_kernel.py (kernel wins only at large S/k);
+# module bindings kept so tests monkeypatch per site
+from frcnn_tpu.ops.pallas.select_kernel import (THRESHOLD_SELECT_MIN_RATIO,
+                                               THRESHOLD_SELECT_MIN_S)
 
 
 def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int,
@@ -77,7 +78,8 @@ def select_pre_nms(fg_prob, box_cells, sizes, per: int, a_n: int,
             sc = lvl
             idx = jnp.broadcast_to(
                 jnp.arange(s, dtype=jnp.int32), lvl.shape)
-        elif use_threshold and s >= THRESHOLD_SELECT_MIN_S:
+        elif (use_threshold and s >= THRESHOLD_SELECT_MIN_S
+              and s >= THRESHOLD_SELECT_MIN_RATIO * k):
             from frcnn_tpu.ops.pallas.select_kernel import topk_threshold
 
             tv, ti = topk_threshold(lvl, k)        # exact set, index-asc

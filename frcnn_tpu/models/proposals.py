@@ -16,9 +16,10 @@ import jax.numpy as jnp
 from frcnn_tpu.ops.boxes import bbox_transform_inv, clip_boxes
 from frcnn_tpu.ops.nms import nms_fixed, nms_fixed_batched, NEG_INF
 
-# single definition in select_kernel.py; module binding kept so tests
+# single definition in select_kernel.py; module bindings kept so tests
 # monkeypatch per site
-from frcnn_tpu.ops.pallas.select_kernel import THRESHOLD_SELECT_MIN_S
+from frcnn_tpu.ops.pallas.select_kernel import (THRESHOLD_SELECT_MIN_RATIO,
+                                               THRESHOLD_SELECT_MIN_S)
 
 
 def _anchor_validity(anchors, im_info):
@@ -86,7 +87,8 @@ def proposal_layer_batch(scores, deltas, anchors, im_info, *, pre_nms_top_n: int
     av = jax.vmap(lambda i: _anchor_validity(anchors, i))(im_info)  # (B, K)
     scores = jnp.where(av, scores, NEG_INF)
     pre_n = min(pre_nms_top_n, k)
-    if (use_threshold and k >= THRESHOLD_SELECT_MIN_S and 3 * pre_n <= k):
+    if (use_threshold and k >= THRESHOLD_SELECT_MIN_S
+            and k >= THRESHOLD_SELECT_MIN_RATIO * pre_n):
         from frcnn_tpu.ops.pallas.select_kernel import topk_threshold
 
         tv, ti = topk_threshold(scores, pre_n)             # exact set

@@ -42,9 +42,10 @@ def _rank_by_random_priority(mask, key):
     return jnp.where(mask, rank, n)
 
 
-# single definition in select_kernel.py; module-level binding kept so tests
+# single definition in select_kernel.py; module-level bindings kept so tests
 # can monkeypatch this site's gate independently
-from frcnn_tpu.ops.pallas.select_kernel import THRESHOLD_SELECT_MIN_S
+from frcnn_tpu.ops.pallas.select_kernel import (THRESHOLD_SELECT_MIN_RATIO,
+                                                THRESHOLD_SELECT_MIN_S)
 
 
 def _subsample_idx(mask, max_quota: int, quota, key, use_threshold=False):
@@ -67,7 +68,8 @@ def _subsample_idx(mask, max_quota: int, quota, key, use_threshold=False):
     n = mask.shape[0]
     ramp = jnp.arange(n, dtype=jnp.float32) * jnp.float32(2.0 ** -17)
     pri = jnp.where(mask, 1.0 + jax.random.uniform(key, (n,)), -1.0 - ramp)
-    if use_threshold and n >= THRESHOLD_SELECT_MIN_S:
+    if (use_threshold and n >= THRESHOLD_SELECT_MIN_S
+            and n >= THRESHOLD_SELECT_MIN_RATIO * max_quota):
         from frcnn_tpu.ops.pallas.select_kernel import topk_threshold
 
         tv, ti = topk_threshold(pri[None], max_quota)

@@ -67,11 +67,21 @@ from jax.experimental.pallas import tpu as pltpu
 C = 512          # lanes per block (prefix-table granularity)
 INT_MIN = -2147483648  # python int: jnp scalars would be captured consts
 
-# Minimum row length S for the kernel to beat plain lax.top_k (below this
-# the 2-launch overhead loses; measured round 4).  Single source of truth —
-# models/{fpn,proposals,targets}.py import this; tests monkeypatch their
-# per-module bindings to exercise the kernel at small shapes.
+# Profitability gate, single source of truth — models/{fpn,proposals,
+# targets}.py import these; tests monkeypatch their per-module bindings to
+# exercise the kernel at small shapes.  Enable the kernel only when
+#   S >= MIN_S  AND  S >= MIN_RATIO * k:
+# the kernel's cost scales with k (the O(B*k*C) extraction + the k-wide
+# re-rank) while XLA TopK's scales with S, so the win regime is large S/k.
+# Measured crossover (PROFILE_r05 §3, 2026-08-21): S/k = 5.7 (C4 detect,
+# 34200/6000) loses ~1.7 ms; S/k ~ 15 is inside timing noise; S/k >= 46
+# wins clearly (+0.09 .. +1.7 ms).  MIN_RATIO = 24 splits the neutral
+# band.  NOTE the backend moved under us here: round 4 measured XLA TopK
+# ~full-sort cost at 34k rows, round 5 measures it ~0.36 ms at the same
+# shape — this gate encodes round-5 reality; re-measure on backend
+# updates (scripts/probe_topk_threshold.py has the sweep).
 THRESHOLD_SELECT_MIN_S = 16384
+THRESHOLD_SELECT_MIN_RATIO = 24
 
 
 def _sortable_keys(scores):

@@ -126,6 +126,7 @@ def test_select_pre_nms_threshold_path_bit_identical(monkeypatch):
     from frcnn_tpu.ops.pallas import select_kernel as sk
 
     monkeypatch.setattr(fpn_mod, "THRESHOLD_SELECT_MIN_S", 256)
+    monkeypatch.setattr(fpn_mod, "THRESHOLD_SELECT_MIN_RATIO", 1)
     monkeypatch.setattr(sk, "topk_threshold",
                         partial(topk_threshold, interpret=True))
 
@@ -188,6 +189,7 @@ def test_proposal_layer_batch_threshold_path_bit_identical(monkeypatch):
     from frcnn_tpu.ops.pallas import select_kernel as sk
 
     monkeypatch.setattr(pr, "THRESHOLD_SELECT_MIN_S", 256)
+    monkeypatch.setattr(pr, "THRESHOLD_SELECT_MIN_RATIO", 1)
     monkeypatch.setattr(sk, "topk_threshold",
                         partial(topk_threshold, interpret=True))
 
