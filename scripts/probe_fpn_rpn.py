@@ -208,7 +208,9 @@ def main():
 
         def fn(*ps):
             out = mod.apply(v, list(ps))
-            return sum(jnp.asarray(o, jnp.float32).ravel()[0] for o in out)
+            # sum-scalarize: ravel()[0] relayouts every (B,H,W,C) output
+            # (the old form made ConvOnly read 15.3 ms vs its true ~4)
+            return sum(jnp.sum(jnp.asarray(o, jnp.float32)) for o in out)
         dt = slope_time(fn, tuple(pyr))
         extra = f"  ({flops/dt/1e12:.0f} TF/s)" if scalar else ""
         print(f"{name}: {dt*1e3:7.2f} ms{extra}")

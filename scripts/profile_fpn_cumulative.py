@@ -58,8 +58,13 @@ def main():
           f"bucket={h}x{w} dtype={dtype.__name__}")
 
     def scalarize(outs):
+        # jnp.sum, NOT ravel()[0]: ravel of a (B, H, W, C) output is a full
+        # Mosaic relayout — measured +11 ms on the 332 MB pyramid alone
+        # (PROFILE_r05 §4), which silently inflated every prefix of the
+        # round-4 table by a different amount.  A full-array sum forces the
+        # same computation but reads it in layout (~0.1 ms/GB).
         leaves = jax.tree.leaves(outs)
-        return sum(jnp.asarray(o, jnp.float32).ravel()[0] for o in leaves)
+        return sum(jnp.sum(jnp.asarray(o, jnp.float32)) for o in leaves)
 
     def prefix(upto):
         def run(mdl, im):
