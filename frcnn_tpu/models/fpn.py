@@ -34,7 +34,8 @@ from frcnn_tpu.models.targets import anchor_target_compact, proposal_target_laye
 from frcnn_tpu.ops.anchors import generate_anchors_pre
 from frcnn_tpu.ops.roi_align import (multilevel_pallas_fits,
                                      roi_align_multilevel,
-                                     roi_align_multilevel_pallas)
+                                     roi_align_multilevel_pallas,
+                                     roi_align_multilevel_pallas_sorted)
 
 
 # single definition in select_kernel.py (kernel wins only at large S/k);
@@ -174,8 +175,19 @@ class FPNNeck(nn.Module):
         outs = [laterals[-1]]
         for lat in laterals[-2::-1]:
             top = outs[0]
-            up = jax.image.resize(top, lat.shape[:1] + (lat.shape[1], lat.shape[2])
-                                  + top.shape[3:], method="nearest")
+            # Nearest 2x upsample as broadcast+reshape (+crop for odd lat
+            # dims) instead of jax.image.resize: resize's gather lowering
+            # materialized gather+transpose pairs costing ~0.7 ms at
+            # 800x1216 B8 (124.5 MB x2 at P2 alone — HLO scan,
+            # PROFILE_r05 §5).  For the even-dim bucket chains every
+            # production config uses, the two are element-identical
+            # (nearest with scale exactly 2 == repeat); odd tails crop the
+            # last row/col, the Detectron scale_factor=2 semantics.
+            b, th, tw, c = lat.shape
+            sh, sw = top.shape[1], top.shape[2]
+            up = jnp.broadcast_to(
+                top[:, :, None, :, None, :], (b, sh, 2, sw, 2, c)
+            ).reshape(b, 2 * sh, 2 * sw, c)[:, :th, :tw]
             outs.insert(0, lat + up)
         ps = [
             nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype,
@@ -195,8 +207,14 @@ class _FPNBoxHead(nn.Module):
 
     @nn.compact
     def __call__(self, pooled, train: bool = False):
-        x = pooled.reshape(pooled.shape[0], -1).astype(self.dtype)
-        x = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="fc1")(x))
+        # DenseGeneral contracts (p, p, C) directly (kernel (p, p, C, dim)):
+        # the explicit reshape-to-12544 form forced a 60 MB lane-merge
+        # relayout of the pooled features per detect batch at 800×1216 B8
+        # (HLO copy scan, PROFILE_r05 §5).  Same math and init as the
+        # flattened Dense (kernel is the reshape of the old one).
+        x = pooled.astype(self.dtype)
+        x = nn.relu(nn.DenseGeneral(self.dim, axis=(-3, -2, -1),
+                                    dtype=self.dtype, name="fc1")(x))
         x = nn.relu(nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x))
         return x
 
@@ -395,7 +413,7 @@ class FasterRCNNFPN(nn.Module):
                       + jnp.log2(jnp.sqrt(w * h) / f.ROI_CANONICAL_SCALE + 1e-8))
         return jnp.clip(k, f.MIN_LEVEL, f.MAX_LEVEL).astype(jnp.int32)
 
-    def _pool(self, pyramid, rois):
+    def _pool(self, pyramid, rois, defer_unsort: bool = False):
         """Level-assigned RoIAlign.  On TPU (when the level shapes fit the
         kernel's VMEM gate) this runs the matmul-form Pallas kernel per
         level with roi-tile skipping (ops.roi_align.
@@ -410,17 +428,30 @@ class FasterRCNNFPN(nn.Module):
         levels = self._assign_levels(rois) - f.MIN_LEVEL  # (B, N) in [0, L)
         roi_levels = list(range(f.MIN_LEVEL, f.MAX_LEVEL + 1))
         maps = pyramid[:len(roi_levels)]
-        pool_fn = roi_align_multilevel
-        if (cfg.TPU.USE_PALLAS and jax.default_backend() == "tpu"
-                and multilevel_pallas_fits([m.shape[1:3] for m in maps],
-                                           maps[0].shape[-1])):
-            pool_fn = roi_align_multilevel_pallas
-        return jax.vmap(
+        strides = [2 ** l for l in roi_levels]
+        use_pallas = (cfg.TPU.USE_PALLAS and jax.default_backend() == "tpu"
+                      and multilevel_pallas_fits(
+                          [m.shape[1:3] for m in maps], maps[0].shape[-1]))
+        if use_pallas and defer_unsort:
+            # sorted-rows output + per-image inverse permutation: the
+            # caller permutes the HEAD's small per-roi outputs instead of
+            # this 60 MB feature tensor (roi_align_multilevel_pallas_sorted
+            # docstring; PROFILE_r05 §5)
+            return jax.vmap(
+                lambda fs, r, lv: roi_align_multilevel_pallas_sorted(
+                    fs, r, lv, strides=strides,
+                    output_size=cfg.POOLING_SIZE,
+                    sampling_ratio=cfg.TPU.ROI_SAMPLING_RATIO)
+            )(maps, rois, levels)  # ((B, N, p, p, C) sorted, (B, N) inv)
+        pool_fn = (roi_align_multilevel_pallas if use_pallas
+                   else roi_align_multilevel)
+        pooled = jax.vmap(
             lambda fs, r, lv: pool_fn(
-                fs, r, lv, strides=[2 ** l for l in roi_levels],
+                fs, r, lv, strides=strides,
                 output_size=cfg.POOLING_SIZE,
                 sampling_ratio=cfg.TPU.ROI_SAMPLING_RATIO)
         )(maps, rois, levels)  # (B, N, p, p, C)
+        return (pooled, None) if defer_unsort else pooled
 
     def _classify(self, pooled, train: bool):
         b, n = pooled.shape[:2]
@@ -439,8 +470,13 @@ class FasterRCNNFPN(nn.Module):
         anchors = self._anchors(pyramid)
         rois, roi_scores, roi_valid = self._propose(
             pyramid, fg_prob, box_cells, anchors, im_info, train=False)
-        pooled = self._pool(pyramid, rois)
+        pooled, inv = self._pool(pyramid, rois, defer_unsort=True)
         _, cls_prob, bbox_pred = self._classify(pooled, train=False)
+        if inv is not None:
+            # restore roi row order on the small head outputs (exact: the
+            # box head is row-equivariant) instead of the pooled features
+            cls_prob = jnp.take_along_axis(cls_prob, inv[..., None], axis=1)
+            bbox_pred = jnp.take_along_axis(bbox_pred, inv[..., None], axis=1)
         return {"rois": rois, "roi_scores": roi_scores, "roi_valid": roi_valid,
                 "cls_prob": cls_prob, "bbox_pred": bbox_pred}
 
@@ -474,8 +510,14 @@ class FasterRCNNFPN(nn.Module):
                 r, rv, g, gl, gv, k, cfg, self.num_classes)
         )(rois, roi_valid, gt_boxes, gt_labels, gt_valid, keys[b:])
 
-        pooled = self._pool(pyramid, pt.rois)
+        pooled, pool_inv = self._pool(pyramid, pt.rois, defer_unsort=True)
         cls_logits, cls_prob, bbox_pred = self._classify(pooled, train=True)
+        if pool_inv is not None:
+            # re-align head rows with pt's roi order (see predict)
+            cls_logits = jnp.take_along_axis(cls_logits,
+                                             pool_inv[..., None], axis=1)
+            bbox_pred = jnp.take_along_axis(bbox_pred,
+                                            pool_inv[..., None], axis=1)
         # RPN loss rows gathered at the sampled anchors only — the dense
         # (B, K, 2)/(B, K, 4) per-anchor rows (and their lane-padded Mosaic
         # relayouts + O(K) loss backward) never enter the train graph.

@@ -196,9 +196,15 @@ def _topk_threshold_padded(keys, k: int, interpret: bool = False):
     g = jnp.sum((base[:, None, :] <= j[:, :, None]).astype(jnp.int32),
                 axis=-1) - 1                               # (B, k)
     rank = j - jnp.take_along_axis(base, g, axis=1)        # (B, k)
-    cum_rows = jnp.take_along_axis(sel_ex, g[:, :, None], axis=1)  # (B,k,C)
-    sel_rows = jnp.take_along_axis(sel_i, g[:, :, None], axis=1)
-    hit = (cum_rows == rank[:, :, None]) & (sel_rows > 0)  # one lane per slot
+    # one packed (B, k, C) row gather instead of two: lane L is slot j's
+    # winner iff sel[L] and excl-cumsum[L] == rank[j], i.e. iff
+    # 2*sel_ex[L] + sel[L] == 2*rank + 1 (sel_ex < S << 2^30, no overflow).
+    # Halves the gather+relayout traffic of this stage — the two s32
+    # (8,1000,512) gather+transpose pairs per select were 33 MB each in
+    # the detect HLO (PROFILE_r05 §5).
+    packed = sel_ex * 2 + sel_i                            # (B, nB, C)
+    rows = jnp.take_along_axis(packed, g[:, :, None], axis=1)  # (B, k, C)
+    hit = rows == (2 * rank[:, :, None] + 1)               # one lane per slot
     lane = jnp.sum(jnp.where(
         hit, jax.lax.broadcasted_iota(jnp.int32, hit.shape, 2), 0), axis=-1)
     return g * C + lane

@@ -571,11 +571,35 @@ def roi_align_multilevel_pallas(feats, rois, levels, strides,
                           sampling_ratio, interpret)
 
 
+def roi_align_multilevel_pallas_sorted(feats, rois, levels, strides,
+                                       output_size: int = 7,
+                                       sampling_ratio: int = 2,
+                                       interpret: bool = False):
+    """``roi_align_multilevel_pallas`` with the row un-sort DEFERRED to the
+    caller: returns ``(out_sorted, inv)`` where ``out_sorted[i] ==
+    out[inv[i]]``... i.e. ``jnp.take(out_sorted, inv, axis=0)`` restores
+    roi order.  The in-place un-sort is a 60 MB gather+relayout of the
+    (R, p, p, C) features per detect batch at 800×1216 B8 (PROFILE_r05
+    §5); callers that feed a row-equivariant head can instead permute the
+    head's small outputs (cls/bbox rows: ~0.5 MB) with the same ``inv``
+    — exact, just reordered later."""
+    return _ml_pallas_vjp_sorted(feats, rois, levels, tuple(strides),
+                                 output_size, sampling_ratio, interpret)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _ml_pallas_vjp(feats, rois, levels, strides, output_size, sampling_ratio,
                    interpret):
     return _ml_pallas_fwd_impl(feats, rois, levels, strides, output_size,
                                sampling_ratio, interpret)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _ml_pallas_vjp_sorted(feats, rois, levels, strides, output_size,
+                          sampling_ratio, interpret):
+    out = _ml_pallas_fwd_impl(feats, rois, levels, strides, output_size,
+                              sampling_ratio, interpret, defer_unsort=True)
+    return out  # (out_sorted, inv)
 
 
 # Merged tail-levels launch: OFF by default.  Same-process A/B at the
@@ -587,7 +611,8 @@ def _ml_pallas_vjp(feats, rois, levels, strides, output_size, sampling_ratio,
 MERGED_LEVEL_FWD = False
 
 
-def _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret):
+def _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret,
+                        defer_unsort: bool = False):
     from frcnn_tpu.ops.pallas.roi_align_kernel import (
         merged_tail_fits, roi_align_level_fwd, roi_align_levels_fwd_merged)
 
@@ -633,6 +658,8 @@ def _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret):
             [1.0 / strides[li] for li in merged], sr, rt_m,
             interpret=interpret)
         out = o if out is None else out + o
+    if defer_unsort:
+        return out, inv
     return jnp.take(out, inv, axis=0)
 
 
@@ -666,6 +693,44 @@ def _ml_pallas_bwd_rule(strides, p, sr, interpret, res, g):
 
 
 _ml_pallas_vjp.defvjp(_ml_pallas_fwd_rule, _ml_pallas_bwd_rule)
+
+
+def _ml_pallas_sorted_fwd_rule(feats, rois, levels, strides, p, sr,
+                               interpret):
+    out = _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret,
+                              defer_unsort=True)
+    tokens = tuple(jnp.zeros((0,) + f.shape, f.dtype) for f in feats)
+    return out, (rois, levels, tokens)
+
+
+def _ml_pallas_sorted_bwd_rule(strides, p, sr, interpret, res, g):
+    """Cotangent arrives in SORTED row order (the fwd's output order), so —
+    unlike _ml_pallas_bwd_rule — g is used directly; only rois/levels get
+    re-sorted to match.  (g[1] is inv's float0 cotangent, ignored.)"""
+    from frcnn_tpu.ops.pallas.roi_align_kernel import roi_align_level_bwd
+
+    rois, levels, tokens = res
+    g_s = g[0]
+    order = jnp.argsort(levels)
+    rois_s = jnp.take(rois, order, axis=0)
+    lv_s = jnp.take(levels, order, axis=0)
+    dfeats = []
+    for li, (t, s) in enumerate(zip(tokens, strides)):
+        h, w, c = t.shape[1:]
+        params = _level_roi_tile(h, w, c)
+        assert params is not None, (
+            f"level {(h, w, c)} exceeds the VMEM model — gate callers with "
+            "multilevel_pallas_fits")
+        rt, _, variant = params
+        dfeats.append(roi_align_level_bwd(
+            g_s.astype(t.dtype), rois_s, lv_s, li, h, w, t.dtype, p,
+            1.0 / s, sr, roi_tile=rt, variant=variant, interpret=interpret))
+    zeros_levels = np.zeros(levels.shape, jax.dtypes.float0)
+    return dfeats, jnp.zeros_like(rois), zeros_levels
+
+
+_ml_pallas_vjp_sorted.defvjp(_ml_pallas_sorted_fwd_rule,
+                             _ml_pallas_sorted_bwd_rule)
 
 
 def extract_roi_features(feat, rois, mode: str = "align", output_size: int = 7,

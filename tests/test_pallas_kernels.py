@@ -145,6 +145,43 @@ def test_multilevel_pallas_matches_gather(rng):
     assert not np.asarray(g_new[2]).any()  # empty level → zero gradient
 
 
+def test_multilevel_pallas_sorted_variant_matches(rng):
+    """roi_align_multilevel_pallas_sorted (deferred un-sort; round 5 —
+    callers permute the head's small outputs instead of the 60 MB pooled
+    features) vs the plain variant: take(out_sorted, inv) must equal the
+    roi-ordered output exactly, and grads must match (the sorted bwd rule
+    consumes the cotangent WITHOUT reordering — the rule most likely to
+    rot)."""
+    from frcnn_tpu.ops.roi_align import (roi_align_multilevel_pallas,
+                                         roi_align_multilevel_pallas_sorted)
+
+    strides = [4, 8, 16, 32]
+    hw = [(32, 48), (16, 24), (8, 12), (4, 6)]
+    c, r = 128, 19
+    feats = [jnp.asarray(rng.randn(h, w, c).astype(np.float32)) for h, w in hw]
+    rois = jnp.asarray(random_boxes(rng, r, width=190, height=120, min_size=8))
+    levels = jnp.asarray(np.clip(rng.randint(0, 4, r), 0, 3).astype(np.int32))
+    cot = jnp.asarray(rng.randn(r, 7, 7, c).astype(np.float32))
+
+    def plain(fs):
+        o = roi_align_multilevel_pallas(fs, rois, levels, strides,
+                                        interpret=INTERPRET)
+        return jnp.vdot(cot, o), o
+
+    def sorted_form(fs):
+        o_s, inv = roi_align_multilevel_pallas_sorted(
+            fs, rois, levels, strides, interpret=INTERPRET)
+        o = jnp.take(o_s, inv, axis=0)     # caller-side un-sort
+        return jnp.vdot(cot, o), o
+
+    (_, o_ref), g_ref = jax.value_and_grad(plain, has_aux=True)(feats)
+    (_, o_new), g_new = jax.value_and_grad(sorted_form, has_aux=True)(feats)
+    np.testing.assert_array_equal(np.asarray(o_new), np.asarray(o_ref))
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_level_tile_params_large_levels():
     """The VMEM gate's parameter chooser: standard FPN levels keep the
     x-first kernel at the full (16, 128) tile; a P2-sized level at the
