@@ -29,9 +29,17 @@ oracle-exact in every CPU test, but NOT wired into production — the axon
 TPU backend mis-executes programs holding these strided top-k graphs
 (`INVALID_ARGUMENT` on repeat or second-in-process executions, reproduced
 5x including the real 800×1216 FPN detect; the same programs with plain
-``lax.top_k`` run clean — PROFILE_r04 §2).  The intended call sites
-(models/fpn.py::select_pre_nms, models/targets.py::_subsample_idx) carry
-re-wire notes for when the backend is fixed.
+``lax.top_k`` run clean — PROFILE_r04 §2).
+
+STATUS UPDATE (2026-08-21, round 5): the backend bug no longer reproduces
+— scripts/repro_axon/repro_strided_topk.py prints CLEAN, and a hardened
+3-program × 4-interleaved-repeat run is also clean (PROFILE_r05 §7).  It
+stays unwired anyway, for a better reason now: the same backend update
+made ``lax.top_k`` ~4x faster at small rows (PROFILE_r05 §3), so at the
+shapes where selection still costs real time the exact-tie-order
+threshold kernel (ops/pallas/select_kernel.py) already wins, and this
+kernel's block-major tie order remains wrong for the production call
+sites that require lax.top_k order parity.
 """
 
 from __future__ import annotations
