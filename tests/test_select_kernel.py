@@ -214,6 +214,55 @@ def test_proposal_layer_batch_threshold_path_bit_identical(monkeypatch):
                                       err_msg=name)
 
 
+def test_threshold_gate_requires_ratio(monkeypatch):
+    """The S/k profitability gate (round 5): the kernel must NOT engage
+    when S < 24*k even with use_threshold on — at the C4 detect shape
+    (S/k = 5.7) the kernel measured 1.7 ms SLOWER than lax.top_k after a
+    backend TopK update (PROFILE_r05 §3).  Guards the gate itself: a
+    kernel call below the ratio is a perf regression even though the
+    result would be correct."""
+    from functools import partial
+
+    from frcnn_tpu.models import fpn as fpn_mod
+    from frcnn_tpu.models import proposals as pr
+    from frcnn_tpu.ops.anchors import generate_anchors_pre
+    from frcnn_tpu.ops.pallas import select_kernel as sk
+
+    calls = []
+
+    def spy(scores, k, **kw):
+        calls.append((scores.shape, k))
+        return topk_threshold(scores, k, interpret=True)
+
+    monkeypatch.setattr(sk, "topk_threshold", spy)
+    # C4-like: S=3456, pre_n=1000 -> ratio 3.5; patch MIN_S low so ONLY
+    # the ratio can gate
+    monkeypatch.setattr(pr, "THRESHOLD_SELECT_MIN_S", 256)
+    rng = np.random.RandomState(21)
+    anchors, _ = generate_anchors_pre(16, 24, 16)
+    s = anchors.shape[0]
+    pr.proposal_layer_batch(
+        jnp.asarray(rng.rand(1, s).astype(np.float32)),
+        jnp.asarray((rng.randn(1, s, 4) * 0.1).astype(np.float32)),
+        jnp.asarray(anchors), jnp.asarray([[256.0, 384.0, 1.0]]),
+        pre_nms_top_n=1000, post_nms_top_n=64, nms_thresh=0.7,
+        use_pallas=False, use_threshold=True)
+    assert not calls, f"kernel engaged below the S/k ratio: {calls}"
+
+    # per-level FPN gate: sizes 1152/288/18 with per=16 -> only the first
+    # level passes both MIN_S (patched 256) and ratio (1152 >= 24*16)
+    monkeypatch.setattr(fpn_mod, "THRESHOLD_SELECT_MIN_S", 256)
+    a_n = 3
+    hws = [(16, 24), (8, 12), (2, 3)]
+    sizes = [h * w * a_n for h, w in hws]
+    fg = jnp.asarray(rng.rand(1, sum(sizes)).astype(np.float32))
+    cells = [jnp.asarray(rng.randn(1, h * w, 4 * a_n).astype(np.float32))
+             for h, w in hws]
+    fpn_mod.select_pre_nms(fg, cells, sizes, 16, a_n, use_threshold=True)
+    assert [c[0][1] for c in calls] == [1152], (
+        f"expected exactly the 1152-wide level through the kernel: {calls}")
+
+
 @pytest.mark.skipif(not ON_TPU, reason="needs TPU (FRCNN_TPU_TEST_TPU=1)")
 def test_tpu_compiled_repeat_execution():
     """Compiled on the chip, executed 5x with fresh inputs — the failure
