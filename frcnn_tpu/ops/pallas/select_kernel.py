@@ -79,7 +79,7 @@ INT_MIN = -2147483648  # python int: jnp scalars would be captured consts
 # band.  NOTE the backend moved under us here: round 4 measured XLA TopK
 # ~full-sort cost at 34k rows, round 5 measures it ~0.36 ms at the same
 # shape — this gate encodes round-5 reality; re-measure on backend
-# updates (scripts/probe_topk_threshold.py has the sweep).
+# updates (`python scripts/probe_topk_threshold.py --sweep`).
 THRESHOLD_SELECT_MIN_S = 16384
 THRESHOLD_SELECT_MIN_RATIO = 24
 

@@ -147,8 +147,45 @@ def dense_regimes():
     return ok
 
 
+def ratio_sweep():
+    """Profitability sweep behind THRESHOLD_SELECT_MIN_RATIO (round 5):
+    kernel(+re-rank) vs lax.top_k across the production S/k spectrum.
+    Re-run this after any jax/axon update — the round-4→5 backend change
+    made lax.top_k ~4x faster at small rows and flipped the C4 verdict
+    (PROFILE_r05 §3).  `--sweep` runs ONLY the sweep: timing arms in a
+    process that already executed many compiled programs read garbage
+    (negative slopes — the multi-program axon hazard, PROFILE_r05 §8),
+    and even sweep-only is 12 programs, so treat boundary shapes as
+    indicative and confirm gate flips with one-shape-per-process runs +
+    an in-situ same-process A/B (ab_threshold_select.py) before shipping
+    them."""
+    rng = np.random.RandomState(1)
+    print("  shape, k (S/k): kernel+rerank | lax.top_k")
+    for shape, k in [((8, 34200), 6000), ((8, 29184), 2000),
+                     ((8, 45600), 1000), ((8, 65536), 2000),
+                     ((8, 116736), 2000), ((8, 182400), 1000)]:
+        x = jnp.asarray(rng.rand(*shape).astype(np.float32))
+
+        def kern(a, kk=k):
+            v, i = topk_threshold(a, kk)
+            vv, pos = jax.lax.top_k(v, kk)   # production re-rank included
+            return vv.sum() + jnp.take_along_axis(i, pos, axis=1).sum()
+
+        def direct(a, kk=k):
+            v, i = jax.lax.top_k(a, kk)
+            return v.sum() + i.sum()
+
+        tk = slope_time(kern, (x,)) * 1e3
+        td = slope_time(direct, (x,)) * 1e3
+        print(f"  {shape} k={k} (S/k={shape[1] // k:4d}): {tk:7.3f} | "
+              f"{td:7.3f} ms  ({td - tk:+.3f})")
+
+
 def main():
     print(f"backend={jax.default_backend()}")
+    if "--sweep" in sys.argv:
+        ratio_sweep()          # sweep-only: see ratio_sweep docstring
+        return
     shapes = [((8, 116736), 2000, "train-L2 (8,116736) k=2000"),
               ((8, 182400), 1000, "detect-P2 (8,182400) k=1000")]
     allok = True
