@@ -433,16 +433,18 @@ class FasterRCNNFPN(nn.Module):
                       and multilevel_pallas_fits(
                           [m.shape[1:3] for m in maps], maps[0].shape[-1]))
         if use_pallas and defer_unsort:
-            # sorted-rows output + per-image inverse permutation: the
-            # caller permutes the HEAD's small per-roi outputs instead of
-            # this 60 MB feature tensor (roi_align_multilevel_pallas_sorted
-            # docstring; PROFILE_r05 §5)
+            # sorted-rows PADDED output + per-image inverse permutation:
+            # the caller runs the row-equivariant head on the padded
+            # sorted rows and permutes the HEAD's small per-roi outputs
+            # instead of this 60 MB feature tensor — the take(…, inv)
+            # both un-sorts and drops the pad rows
+            # (roi_align_multilevel_pallas_sorted docstring; PROFILE_r05 §5)
             return jax.vmap(
                 lambda fs, r, lv: roi_align_multilevel_pallas_sorted(
                     fs, r, lv, strides=strides,
                     output_size=cfg.POOLING_SIZE,
                     sampling_ratio=cfg.TPU.ROI_SAMPLING_RATIO)
-            )(maps, rois, levels)  # ((B, N, p, p, C) sorted, (B, N) inv)
+            )(maps, rois, levels)  # ((B, N_pad, p, p, C) sorted, (B, N) inv)
         pool_fn = (roi_align_multilevel_pallas if use_pallas
                    else roi_align_multilevel)
         pooled = jax.vmap(

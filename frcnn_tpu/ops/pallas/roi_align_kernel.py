@@ -515,9 +515,16 @@ LEVEL_CHAN_BLOCK = 128  # level kernels run tighter VMEM (P2 is large)
 YF_H_CHUNK = 64  # y-first bwd H-matmul row block; yfirst_fits_vmem models it
 
 
-def _pad_rois_lv(rois, lv, rt):
+def _pad_rois_lv(rois, lv, rt, r_pad=None):
+    """Pad rois/levels to a roi-tile multiple (lv pad = -1, never a real
+    level, so pad rows are inactive in every tile).  With ``r_pad`` the
+    caller pins the padded row count (must be a tile multiple >= R) so
+    several per-level launches emit identically-shaped outputs."""
     r = rois.shape[0]
-    pad = (-r) % rt
+    if r_pad is None:
+        r_pad = r + (-r) % rt
+    assert r_pad >= r and r_pad % rt == 0, (r, r_pad, rt)
+    pad = r_pad - r
     if pad:
         rois = jnp.pad(rois, ((0, pad), (0, 0)))
         lv = jnp.pad(lv, (0, pad), constant_values=-1)
@@ -526,14 +533,19 @@ def _pad_rois_lv(rois, lv, rt):
 
 def roi_align_level_fwd(feat, rois, roi_levels, level: int, p: int,
                         scale: float, sr: int, roi_tile: int = ROI_TILE,
-                        variant: str = "xfirst", interpret: bool = False):
+                        variant: str = "xfirst", interpret: bool = False,
+                        r_pad: int | None = None):
     """Forward RoIAlign of `rois` against ONE pyramid level: rows with
     roi_levels != level come back zero.  rois should be sorted by level so
     inactive roi tiles skip compute.  feat (H, W, C) → (R, p, p, C).
     variant 'yfirst' selects the transpose-free large-level kernel (see
-    level_tile_params)."""
+    level_tile_params).  With ``r_pad`` the PADDED (R_pad, p, p, C) output
+    is returned un-sliced: slicing a pallas custom-call output back to R
+    costs a full copy of the tensor (61 MB at 800×1216 B8 — PROFILE_r05
+    §5's pool in-situ residual), whereas pad rows are zeros a
+    row-equivariant consumer drops for free at its own (small) output."""
     h, w, c = feat.shape
-    rois_p, lv_p, r_orig = _pad_rois_lv(rois, roi_levels, roi_tile)
+    rois_p, lv_p, r_orig = _pad_rois_lv(rois, roi_levels, roi_tile, r_pad)
     rt_n = rois_p.shape[0] // roi_tile
     cbl = _chan_block(c, LEVEL_CHAN_BLOCK)
     yfirst = variant == "yfirst"
@@ -563,7 +575,7 @@ def roi_align_level_fwd(feat, rois, roi_levels, level: int, p: int,
     )(rois_p, lv_p[:, None], feat[None])
     if yfirst:
         out = out.swapaxes(1, 2)     # kernel emits (r, px, py, cb)
-    return out[:r_orig]
+    return out if r_pad is not None else out[:r_orig]
 
 
 def merged_tail_fits(hw_list, c: int, rt: int, p: int = 7) -> bool:
@@ -622,12 +634,17 @@ def roi_align_levels_fwd_merged(feats, rois, roi_levels, level_ids, p: int,
 def roi_align_level_bwd(g, rois, roi_levels, level: int, h: int, w: int,
                         dtype, p: int, scale: float, sr: int,
                         roi_tile: int = ROI_TILE, variant: str = "xfirst",
-                        interpret: bool = False):
+                        interpret: bool = False, r_pad: int | None = None):
     """Adjoint of roi_align_level_fwd w.r.t. the level's features: dOut rows
-    of other levels are ignored.  g (R, p, p, C) → dfeat (H, W, C)."""
+    of other levels are ignored.  g (R, p, p, C) → dfeat (H, W, C).  With
+    ``r_pad``, g already carries R_pad rows (the fwd emitted the padded
+    output); the pad rows' lv stays -1 so their cotangent — zero anyway,
+    scattered by the caller's take() adjoint — never touches dfeat."""
     c = g.shape[-1]
-    rois_p, lv_p, r_orig = _pad_rois_lv(rois, roi_levels, roi_tile)
-    pad = rois_p.shape[0] - r_orig
+    rois_p, lv_p, r_orig = _pad_rois_lv(rois, roi_levels, roi_tile, r_pad)
+    if r_pad is not None:
+        assert g.shape[0] == r_pad, (g.shape, r_pad)
+    pad = rois_p.shape[0] - g.shape[0]
     if pad:
         g = jnp.pad(g, ((0, pad), (0, 0), (0, 0), (0, 0)))
     rt_n = rois_p.shape[0] // roi_tile
@@ -681,18 +698,23 @@ def _chan_block(c: int, limit: int = None) -> int:
     return cb
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def roi_align_pallas(feat, rois, output_size: int = 7,
                      spatial_scale: float = 1.0 / 16.0, sampling_ratio: int = 2,
-                     interpret: bool = False):
+                     interpret: bool = False, pad_rows: bool = False):
     """RoIAlign: feat (H, W, C), rois (R, 4) → (R, p, p, C).  Same semantics
     as ops.roi_align.roi_align.  interpret=True runs the Pallas interpreter
-    (CPU CI of the kernel logic; compiled path is TPU-only)."""
+    (CPU CI of the kernel logic; compiled path is TPU-only).  pad_rows=True
+    returns the ROI_TILE-padded (R_pad, p, p, C) rows un-sliced (pad rows
+    are zeros): slicing a pallas output back to R costs a full copy of the
+    tensor — ~240 MB/batch on the C4 detect path (C=1024, B8 N=300) — while
+    a row-equivariant head drops pad rows for free at its own small
+    output."""
     return _fwd(feat, rois, output_size, spatial_scale, sampling_ratio,
-                interpret)
+                interpret, pad_rows)
 
 
-def _fwd(feat, rois, p, scale, sr, interpret=False):
+def _fwd(feat, rois, p, scale, sr, interpret=False, pad_rows=False):
     h, w, c = feat.shape
     rois_p, r_orig = _pad_rois(rois)
     rt = rois_p.shape[0] // ROI_TILE
@@ -716,22 +738,24 @@ def _fwd(feat, rois, p, scale, sr, interpret=False):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(rois_p, feat[None])
-    return out[:r_orig]
+    return out if pad_rows else out[:r_orig]
 
 
-def _fwd_rule(feat, rois, p, scale, sr, interpret=False):
+def _fwd_rule(feat, rois, p, scale, sr, interpret=False, pad_rows=False):
     # zero-size array carries feat's shape/dtype as a residual (static
     # metadata is not a valid jax residual type)
     shape_token = jnp.zeros((0,) + feat.shape, feat.dtype)
-    return _fwd(feat, rois, p, scale, sr, interpret), (shape_token, rois)
+    return (_fwd(feat, rois, p, scale, sr, interpret, pad_rows),
+            (shape_token, rois))
 
 
-def _bwd_rule(p, scale, sr, interpret, res, g):
+def _bwd_rule(p, scale, sr, interpret, pad_rows, res, g):
     shape_token, rois = res
     h, w, c = shape_token.shape[1:]
     dtype = shape_token.dtype
     rois_p, r_orig = _pad_rois(rois)
-    pad = rois_p.shape[0] - r_orig
+    # pad_rows fwd emitted R_pad rows, so g may already be padded
+    pad = rois_p.shape[0] - g.shape[0]
     if pad:
         g = jnp.pad(g, ((0, pad), (0, 0), (0, 0), (0, 0)))
     rt = rois_p.shape[0] // ROI_TILE

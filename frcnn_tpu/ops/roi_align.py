@@ -27,6 +27,7 @@ for the reference path; the Pallas kernel defines one.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -576,13 +577,16 @@ def roi_align_multilevel_pallas_sorted(feats, rois, levels, strides,
                                        sampling_ratio: int = 2,
                                        interpret: bool = False):
     """``roi_align_multilevel_pallas`` with the row un-sort DEFERRED to the
-    caller: returns ``(out_sorted, inv)`` where ``out_sorted[i] ==
-    out[inv[i]]``... i.e. ``jnp.take(out_sorted, inv, axis=0)`` restores
-    roi order.  The in-place un-sort is a 60 MB gather+relayout of the
-    (R, p, p, C) features per detect batch at 800×1216 B8 (PROFILE_r05
-    §5); callers that feed a row-equivariant head can instead permute the
-    head's small outputs (cls/bbox rows: ~0.5 MB) with the same ``inv``
-    — exact, just reordered later."""
+    caller: returns ``(out_sorted, inv)`` where ``out_sorted`` has
+    R_pad >= R rows (R padded to the levels' roi-tile lcm; pad rows are
+    zeros) and ``jnp.take(out_sorted, inv, axis=0)`` restores roi order
+    (inv's R entries index only the real sorted positions, so the pad
+    rows drop out).  The in-place un-sort is a 60 MB gather+relayout of
+    the (R, p, p, C) features per detect batch at 800×1216 B8, and the
+    R_pad→R slice of a pallas output is another full copy (PROFILE_r05
+    §5); callers that feed a row-equivariant head instead run the head on
+    the padded sorted rows and permute its small outputs (cls/bbox rows:
+    ~0.5 MB) with the same ``inv`` — exact, just reordered later."""
     return _ml_pallas_vjp_sorted(feats, rois, levels, tuple(strides),
                                  output_size, sampling_ratio, interpret)
 
@@ -643,6 +647,18 @@ def _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret,
         if merged_tail_fits([f.shape[:2] for li in tail
                              for f in [feats[li]]], c, rt_m, p=p):
             merged = tail
+    # Deferred-unsort callers get the roi-tile-PADDED row count back:
+    # slicing each pallas output R_pad→R costs a full copy of the 60 MB
+    # pooled tensor (PROFILE_r05 §5 residual), while the pad rows (lv=-1,
+    # zeros) ride the row-equivariant head for ~R_pad/R−1 ≈ 1.3% extra
+    # matmul rows and vanish at the caller's take(head_out, inv) — inv
+    # only ever indexes the R real sorted positions.  (The merged launch
+    # keeps the sliced form; it is default-off.)
+    r_pad = None
+    if defer_unsort and not merged:
+        lcm = math.lcm(*[prm[0] for prm in params])
+        r = rois.shape[0]
+        r_pad = r + (-r) % lcm
     out = None
     for li, (f, s) in enumerate(zip(feats, strides)):
         if li in merged:
@@ -650,7 +666,7 @@ def _ml_pallas_fwd_impl(feats, rois, levels, strides, p, sr, interpret,
         rt, _, variant = params[li]
         o = roi_align_level_fwd(f, rois_s, lv_s, li, p, 1.0 / s, sr,
                                 roi_tile=rt, variant=variant,
-                                interpret=interpret)
+                                interpret=interpret, r_pad=r_pad)
         out = o if out is None else out + o      # disjoint row supports
     if merged:
         o = roi_align_levels_fwd_merged(
@@ -711,6 +727,9 @@ def _ml_pallas_sorted_bwd_rule(strides, p, sr, interpret, res, g):
 
     rois, levels, tokens = res
     g_s = g[0]
+    # g carries the fwd's PADDED row count (pad rows: lv=-1, cotangent
+    # zero from the caller's take() adjoint — ignored by the kernel).
+    r_pad = g_s.shape[0] if g_s.shape[0] != rois.shape[0] else None
     order = jnp.argsort(levels)
     rois_s = jnp.take(rois, order, axis=0)
     lv_s = jnp.take(levels, order, axis=0)
@@ -724,7 +743,8 @@ def _ml_pallas_sorted_bwd_rule(strides, p, sr, interpret, res, g):
         rt, _, variant = params
         dfeats.append(roi_align_level_bwd(
             g_s.astype(t.dtype), rois_s, lv_s, li, h, w, t.dtype, p,
-            1.0 / s, sr, roi_tile=rt, variant=variant, interpret=interpret))
+            1.0 / s, sr, roi_tile=rt, variant=variant, interpret=interpret,
+            r_pad=r_pad))
     zeros_levels = np.zeros(levels.shape, jax.dtypes.float0)
     return dfeats, jnp.zeros_like(rois), zeros_levels
 
@@ -735,15 +755,24 @@ _ml_pallas_vjp_sorted.defvjp(_ml_pallas_sorted_fwd_rule,
 
 def extract_roi_features(feat, rois, mode: str = "align", output_size: int = 7,
                          spatial_scale: float = 1.0 / 16.0, sampling_ratio: int = 2,
-                         use_pallas: bool = True):
-    """cfg.POOLING_MODE dispatcher (reference Network._crop_pool_layer)."""
+                         use_pallas: bool = True, pad_rows: bool = False):
+    """cfg.POOLING_MODE dispatcher (reference Network._crop_pool_layer).
+
+    pad_rows=True: WHEN the pallas path engages, return the ROI_TILE-padded
+    (R_pad, p, p, C) rows instead of paying a full-copy slice back to R
+    (roi_align_pallas docstring) — callers must size row-wise consumers by
+    the returned shape and slice their own small outputs back to R.  The
+    non-pallas forms return exact R rows either way."""
     if mode == "align":
         if (use_pallas and jax.default_backend() == "tpu"
                 and feat.shape[-1] % 128 == 0):
             from frcnn_tpu.ops.pallas.roi_align_kernel import roi_align_pallas
 
+            # positional: custom_vjp kwarg resolution of nondiff args is
+            # version-sensitive
             return roi_align_pallas(feat, rois, output_size,
-                                    spatial_scale, sampling_ratio)
+                                    spatial_scale, sampling_ratio,
+                                    False, pad_rows)
         return roi_align(feat, rois, output_size, spatial_scale, sampling_ratio)
     if mode == "pool":
         return roi_pool(feat, rois, output_size, spatial_scale)

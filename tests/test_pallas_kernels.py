@@ -181,6 +181,17 @@ def test_multilevel_pallas_sorted_variant_matches(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
 
+    # Padded-rows contract (round 5: the R_pad→R slice of a pallas output
+    # is a full copy, so the sorted variant returns the padded rows and
+    # relies on take(…, inv) to drop them): R=19 → R_pad=32 here, the pad
+    # rows must be exact zeros, and inv must never index them.
+    from frcnn_tpu.ops.roi_align import roi_align_multilevel_pallas_sorted
+    o_s, inv = roi_align_multilevel_pallas_sorted(
+        feats, rois, levels, strides, interpret=INTERPRET)
+    assert o_s.shape[0] == 32 and inv.shape[0] == r
+    assert int(np.asarray(inv).max()) < r
+    assert not np.asarray(o_s[r:]).any()
+
 
 def test_level_tile_params_large_levels():
     """The VMEM gate's parameter chooser: standard FPN levels keep the
