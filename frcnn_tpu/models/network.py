@@ -199,19 +199,21 @@ class FasterRCNN(nn.Module):
         """Per-image RoI feature extraction, vmapped over batch.
         feat: (B, h, w, C); rois: (B, N, 4) image coords.
 
-        May return MORE than N rows (roi-tile padding, zeros) on the pallas
-        path: the R_pad→R slice of the pallas output is a full copy of the
-        ~240 MB pooled tensor at the C4 detect shape, while the RoI head
-        (layer4 convs → fc) is row-equivariant, so predict/train_forward
-        run it on the padded rows and slice their own small cls/bbox
-        outputs back to N (≈ +1.3% head rows at N=300)."""
+        NOT padded-rows (unlike the FPN pool): running the C4 head on the
+        roi-tile-padded rows to skip the pallas output's R_pad→R slice
+        copy FAILED the on-chip bit-identity gate
+        (scripts/probe_pool_pad_identity.py --only c4): layer4's convs
+        recompile at B·N_pad=608 rows with different tiling than at 600,
+        so cls/bbox differ at accumulation-order level — benign but not
+        certifiable, unlike the FPN box head (pure row-tiled matmuls,
+        bit-identical).  The slice copy stays."""
         cfg = self.config
         return jax.vmap(
             lambda f, r: extract_roi_features(
                 f, r, mode=cfg.POOLING_MODE, output_size=cfg.POOLING_SIZE,
                 spatial_scale=1.0 / cfg.FEAT_STRIDE[0],
                 sampling_ratio=cfg.TPU.ROI_SAMPLING_RATIO,
-                use_pallas=cfg.TPU.USE_PALLAS, pad_rows=True)
+                use_pallas=cfg.TPU.USE_PALLAS)
         )(feat, rois)
 
     def _classify(self, pooled, train: bool):
@@ -255,9 +257,6 @@ class FasterRCNN(nn.Module):
 
         pooled = self._pool(feat, rois)
         _, cls_prob, bbox_pred = self._classify(pooled, train=False)
-        n = rois.shape[1]                   # drop the pool's pad rows (free:
-        cls_prob = cls_prob[:, :n]          # ~0.5 MB head rows, not the 240
-        bbox_pred = bbox_pred[:, :n]        # MB pooled features)
         return {"rois": rois, "roi_scores": roi_scores, "roi_valid": roi_valid,
                 "cls_prob": cls_prob, "bbox_pred": bbox_pred}
 
@@ -311,10 +310,6 @@ class FasterRCNN(nn.Module):
 
         pooled = self._pool(feat, pt.rois)
         cls_logits, cls_prob, bbox_pred = self._classify(pooled, train=True)
-        n = pt.rois.shape[1]                # drop the pool's pad rows (the
-        cls_logits = cls_logits[:, :n]      # train roi batch is usually a
-        cls_prob = cls_prob[:, :n]          # tile multiple — no-op then)
-        bbox_pred = bbox_pred[:, :n]
 
         # RPN loss terms over the sampled rows only (see anchor_target_compact
         # / detection_losses_compact): head rows fetched at at.sel, the dense

@@ -19,7 +19,17 @@ FPN._pool to defer_unsort=False so every other line is shared):
 A pallas-vs-GATHER comparison is NOT a valid oracle here (bf16 pool deltas
 legitimately flip NMS keeps — PROFILE_r05 §5); pallas-vs-pallas is.
 
-Usage: python scripts/probe_pool_pad_identity.py [--batch 2]
+RESULT (2026-08-21, on chip): FPN predict (all five outputs) and FPN
+train (all five losses) bit-identical → shipped.  The C4 arm (--only c4,
+roi_align_pallas pad_rows through the res50 layer4 head) FAILED the gate:
+rois/scores/valid identical but cls_prob/bbox_pred mismatch — layer4's
+convs recompile at B·N_pad=608 rows with different tiling than at 600, an
+accumulation-order (ulp) effect the FPN's pure row-tiled matmul head does
+not have.  Benign but not certifiable ⇒ the C4 wiring was REVERTED
+(network.py keeps the slice; ops keep pad_rows + this probe as the
+witness for any retry with a shape-pinned head).
+
+Usage: python scripts/probe_pool_pad_identity.py [--batch 2] [--only fpn|c4]
 """
 
 import argparse
